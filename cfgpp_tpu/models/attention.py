@@ -1,0 +1,111 @@
+"""Attention primitives shared by UNet / CLIP / VAE.
+
+The scaled-dot-product core is a single dispatch point: plain XLA einsum
+(which XLA fuses well for short-kv cross-attention, kv=77) or the Pallas
+TPU flash-attention kernel for long self-attention sequences (up to 16,384
+image tokens at SDXL's top block).  Replaces the reference's reliance on
+PyTorch SDPA / AttnProcessor2_0 (`latent_sdxl.py:7-10`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Sequence-length threshold above which the Pallas flash kernel wins over the
+# XLA einsum path (materializing the NxN score matrix).  Cross-attention with
+# kv=77 always stays on the einsum path.
+FLASH_MIN_Q_LEN = 1024
+FLASH_MIN_KV_LEN = 512
+
+
+def sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+             mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Reference-quality attention: fp32 softmax, inputs [B, N, H, D]."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = logits + mask
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _use_flash(q_len: int, kv_len: int, head_dim: int) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    if head_dim % 64 != 0 and head_dim not in (64, 128):
+        return False
+    return q_len >= FLASH_MIN_Q_LEN and kv_len >= FLASH_MIN_KV_LEN
+
+
+def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+         mask: Optional[jnp.ndarray] = None,
+         force_impl: Optional[str] = None) -> jnp.ndarray:
+    """Dispatching scaled dot-product attention. Inputs [B, N, H, D]."""
+    impl = force_impl
+    if impl is None:
+        impl = "flash" if (mask is None and _use_flash(q.shape[1], k.shape[1], q.shape[-1])) else "xla"
+    if impl == "flash":
+        from cfgpp_tpu.kernels.flash_attention import flash_attention
+        return flash_attention(q, k, v)
+    return sdpa_xla(q, k, v, mask)
+
+
+class Attention(nn.Module):
+    """Multi-head attention matching diffusers' `Attention` layout.
+
+    Self-attention when ``context`` is None; cross-attention otherwise.
+    q/k/v projections have no bias; the output projection does.
+    """
+
+    num_heads: int
+    head_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        ctx = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        dense = functools.partial(nn.Dense, dtype=self.dtype, param_dtype=self.param_dtype)
+        q = dense(inner, use_bias=False, name="to_q")(x)
+        k = dense(inner, use_bias=False, name="to_k")(ctx)
+        v = dense(inner, use_bias=False, name="to_v")(ctx)
+
+        b, n, _ = q.shape
+        m = k.shape[1]
+        q = q.reshape(b, n, self.num_heads, self.head_dim)
+        k = k.reshape(b, m, self.num_heads, self.head_dim)
+        v = v.reshape(b, m, self.num_heads, self.head_dim)
+
+        out = sdpa(q, k, v, mask=mask)
+        out = out.reshape(b, n, inner)
+        return dense(self.out_dim, use_bias=True, name="to_out")(out)
+
+
+class CLIPAttention(nn.Module):
+    """CLIP-style MHA: biases on q/k/v/out, additive causal mask."""
+
+    num_heads: int
+    hidden_size: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        head_dim = self.hidden_size // self.num_heads
+        dense = functools.partial(nn.Dense, self.hidden_size, use_bias=True,
+                                  dtype=self.dtype, param_dtype=self.param_dtype)
+        b, n, _ = x.shape
+        q = dense(name="q_proj")(x).reshape(b, n, self.num_heads, head_dim)
+        k = dense(name="k_proj")(x).reshape(b, n, self.num_heads, head_dim)
+        v = dense(name="v_proj")(x).reshape(b, n, self.num_heads, head_dim)
+        out = sdpa_xla(q, k, v, mask=mask)
+        return dense(name="out_proj")(out.reshape(b, n, self.hidden_size))

@@ -1,0 +1,282 @@
+"""Parameterized UNet2DCondition covering SD-1.5, SD-2.x and SDXL.
+
+One Flax module family replaces the external `diffusers.UNet2DConditionModel`
+the reference calls (`latent_diffusion.py:146-155`, `latent_sdxl.py:181`):
+ResNet blocks, spatial transformers (self + cross attention, GEGLU FF),
+down/up sampling, sinusoidal time embedding, and SDXL's "text_time"
+added-condition embedding (`latent_sdxl.py:187-198,249-257`).
+
+TPU-first choices: NHWC layout end-to-end (XLA's preferred conv layout),
+bf16 params/compute with fp32 normalization statistics and fp32 softmax,
+attention dispatched to a Pallas flash kernel for long self-attention.
+Module names mirror diffusers' state-dict keys to keep weight conversion
+mechanical (see cfgpp_tpu/weights/convert.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cfgpp_tpu.configs import UNetConfig
+from cfgpp_tpu.models.attention import Attention
+
+
+def sinusoidal_time_embed(timesteps: jnp.ndarray, dim: int,
+                          flip_sin_to_cos: bool = True,
+                          freq_shift: float = 0.0,
+                          max_period: float = 10000.0) -> jnp.ndarray:
+    """diffusers `get_timestep_embedding` semantics; fp32. [B] -> [B, dim]."""
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    return jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+
+
+class TimestepEmbeddingMLP(nn.Module):
+    """linear_1 -> silu -> linear_2 (diffusers `TimestepEmbedding`)."""
+    out_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="linear_1")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="linear_2")(x)
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, temb):
+        conv = functools.partial(nn.Conv, self.out_channels, (3, 3), padding=1,
+                                 dtype=self.dtype, param_dtype=self.param_dtype)
+        gn = functools.partial(nn.GroupNorm, num_groups=self.groups, epsilon=self.eps,
+                               dtype=self.dtype, param_dtype=self.param_dtype)
+        h = nn.silu(gn(name="norm1")(x))
+        h = conv(name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="time_emb_proj")(nn.silu(temb))
+        h = h + t[:, None, None, :]
+        h = nn.silu(gn(name="norm2")(h))
+        h = conv(name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (diffusers ff.net.0 proj + ff.net.2)."""
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        proj = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="net_0_proj")(x)
+        x_p, gate = jnp.split(proj, 2, axis=-1)
+        # erf-based gelu (diffusers GEGLU uses non-approximate F.gelu)
+        x = x_p * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="net_2")(x)
+
+
+class BasicTransformerBlock(nn.Module):
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context):
+        dim = self.num_heads * self.head_dim
+        ln = functools.partial(nn.LayerNorm, epsilon=1e-5, dtype=self.dtype,
+                               param_dtype=self.param_dtype)
+        attn = functools.partial(Attention, num_heads=self.num_heads,
+                                 head_dim=self.head_dim, out_dim=dim,
+                                 dtype=self.dtype, param_dtype=self.param_dtype)
+        x = x + attn(name="attn1")(ln(name="norm1")(x))
+        x = x + attn(name="attn2")(ln(name="norm2")(x), context=context)
+        x = x + FeedForward(dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                            name="ff")(ln(name="norm3")(x))
+        return x
+
+
+class Transformer2DModel(nn.Module):
+    num_heads: int
+    head_dim: int
+    num_layers: int
+    use_linear_projection: bool
+    groups: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        inner = self.num_heads * self.head_dim
+        residual = x
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="norm")(x)
+        if self.use_linear_projection:
+            x = x.reshape(b, h * w, c)
+            x = nn.Dense(inner, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="proj_in")(x)
+        else:
+            x = nn.Conv(inner, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="proj_in")(x)
+            x = x.reshape(b, h * w, inner)
+        for i in range(self.num_layers):
+            x = BasicTransformerBlock(self.num_heads, self.head_dim, dtype=self.dtype,
+                                      param_dtype=self.param_dtype,
+                                      name=f"transformer_blocks_{i}")(x, context)
+        if self.use_linear_projection:
+            x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="proj_out")(x)
+            x = x.reshape(b, h, w, c)
+        else:
+            x = x.reshape(b, h, w, inner)
+            x = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="proj_out")(x)
+        return x + residual
+
+
+class Downsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, param_dtype=self.param_dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="conv")(x)
+
+
+class UNet2DConditionModel(nn.Module):
+    """The eps-prediction network.  sample: [B,H,W,4] NHWC, t: [B] or scalar,
+    context: [B,77,cross_dim]; SDXL adds added_cond=(text_embeds, time_ids)."""
+
+    config: UNetConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
+                 encoder_hidden_states: jnp.ndarray,
+                 added_text_embeds: Optional[jnp.ndarray] = None,
+                 added_time_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cfg = self.config
+        b = sample.shape[0]
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        gn = functools.partial(nn.GroupNorm, num_groups=cfg.norm_num_groups,
+                               epsilon=cfg.norm_eps, **kw)
+
+        timesteps = jnp.broadcast_to(jnp.asarray(timesteps), (b,))
+        t_emb = sinusoidal_time_embed(timesteps, cfg.block_out_channels[0],
+                                      cfg.flip_sin_to_cos, cfg.freq_shift)
+        emb = TimestepEmbeddingMLP(cfg.time_embed_dim, name="time_embedding", **kw)(
+            t_emb.astype(self.dtype))
+
+        if cfg.addition_embed_type == "text_time":
+            if added_text_embeds is None or added_time_ids is None:
+                raise ValueError("SDXL UNet requires added_text_embeds and added_time_ids")
+            # latent_sdxl.py:187-198: 6 micro-cond scalars, each sinusoidally
+            # embedded, flattened, concat with pooled text embeds.
+            ids = added_time_ids.reshape(-1)
+            t_ids_emb = sinusoidal_time_embed(ids, cfg.addition_time_embed_dim,
+                                              cfg.flip_sin_to_cos, cfg.freq_shift)
+            t_ids_emb = t_ids_emb.reshape(b, -1)
+            add_in = jnp.concatenate(
+                [added_text_embeds.astype(jnp.float32), t_ids_emb], axis=-1)
+            aug = TimestepEmbeddingMLP(cfg.time_embed_dim, name="add_embedding", **kw)(
+                add_in.astype(self.dtype))
+            emb = emb + aug
+
+        context = encoder_hidden_states.astype(self.dtype)
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, name="conv_in", **kw)(
+            sample.astype(self.dtype))
+
+        n_blocks = len(cfg.block_out_channels)
+        res_stack = [x]
+
+        # ---- down ----
+        for i, (block_type, out_ch) in enumerate(zip(cfg.down_block_types, cfg.block_out_channels)):
+            has_attn = block_type == "CrossAttnDownBlock2D"
+            heads = cfg.num_attention_heads[i]
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock2D(out_ch, cfg.norm_num_groups, cfg.norm_eps,
+                                  name=f"down_blocks_{i}_resnets_{j}", **kw)(x, emb)
+                if has_attn:
+                    x = Transformer2DModel(
+                        heads, out_ch // heads, cfg.transformer_layers_per_block[i],
+                        cfg.use_linear_projection, cfg.norm_num_groups,
+                        name=f"down_blocks_{i}_attentions_{j}", **kw)(x, context)
+                res_stack.append(x)
+            if i < n_blocks - 1:
+                x = Downsample2D(out_ch, name=f"down_blocks_{i}_downsamplers_0", **kw)(x)
+                res_stack.append(x)
+
+        # ---- mid ----
+        mid_ch = cfg.block_out_channels[-1]
+        mid_heads = cfg.num_attention_heads[-1]
+        x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
+                          name="mid_block_resnets_0", **kw)(x, emb)
+        x = Transformer2DModel(mid_heads, mid_ch // mid_heads,
+                               cfg.transformer_layers_per_block[-1],
+                               cfg.use_linear_projection, cfg.norm_num_groups,
+                               name="mid_block_attentions_0", **kw)(x, context)
+        x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
+                          name="mid_block_resnets_1", **kw)(x, emb)
+
+        # ---- up ----
+        rev_channels = list(reversed(cfg.block_out_channels))
+        rev_heads = list(reversed(cfg.num_attention_heads))
+        rev_tlayers = list(reversed(cfg.transformer_layers_per_block))
+        for i, block_type in enumerate(cfg.up_block_types):
+            has_attn = block_type == "CrossAttnUpBlock2D"
+            out_ch = rev_channels[i]
+            for j in range(cfg.layers_per_block + 1):
+                res = res_stack.pop()
+                x = jnp.concatenate([x, res], axis=-1)
+                x = ResnetBlock2D(out_ch, cfg.norm_num_groups, cfg.norm_eps,
+                                  name=f"up_blocks_{i}_resnets_{j}", **kw)(x, emb)
+                if has_attn:
+                    x = Transformer2DModel(
+                        rev_heads[i], out_ch // rev_heads[i], rev_tlayers[i],
+                        cfg.use_linear_projection, cfg.norm_num_groups,
+                        name=f"up_blocks_{i}_attentions_{j}", **kw)(x, context)
+            if i < n_blocks - 1:
+                x = Upsample2D(out_ch, name=f"up_blocks_{i}_upsamplers_0", **kw)(x)
+
+        x = nn.silu(gn(name="conv_norm_out")(x))
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **kw)(x)
+        return x.astype(jnp.float32)

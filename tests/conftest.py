@@ -14,3 +14,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# XLA's default matmul precision is reduced even for f32 inputs (~1e-3 error);
+# numeric parity tests need true f32 matmuls.
+jax.config.update("jax_default_matmul_precision", "highest")
