@@ -1,0 +1,50 @@
+"""Shared CLI plumbing: bundle construction + engine creation."""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import jax.numpy as jnp
+
+from cfgpp_tpu.engine import DiffusionEngine, ModelBundle
+
+SD_MODELS = ("sd15", "sd20", "sd21", "tiny_sd")
+SDXL_MODELS = ("sdxl", "sdxl_lightning", "tiny_sdxl")
+ALL_MODELS = SD_MODELS + SDXL_MODELS
+
+# Reference default negative prompt (examples/text_to_img.py:17).
+DEFAULT_NULL_PROMPT = ("low quality,jpeg artifacts,blurry,poorly drawn,ugly,"
+                       "worst quality,")
+
+
+def add_common_args(parser: argparse.ArgumentParser, default_method: str = "ddim",
+                    default_nfe: int = 50) -> None:
+    parser.add_argument("--workdir", type=str, required=False)
+    parser.add_argument("--device", type=str, default="tpu",
+                        help="informational; JAX picks the backend")
+    parser.add_argument("--null_prompt", type=str, default=DEFAULT_NULL_PROMPT)
+    parser.add_argument("--prompt", type=str, default="")
+    parser.add_argument("--cfg_guidance", type=float, default=7.5)
+    parser.add_argument("--method", type=str, default=default_method)
+    parser.add_argument("--model", type=str, default="sd15", choices=ALL_MODELS)
+    parser.add_argument("--NFE", type=int, default=default_nfe)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--ckpt_dir", type=str, default=None,
+                        help="directory with converted safetensors weights; "
+                             "omitted -> random-init weights (no downloads "
+                             "exist in this environment)")
+    parser.add_argument("--resolution", type=int, default=None)
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        choices=("bfloat16", "float32"))
+
+
+def build_engine(args, nfe: Optional[int] = None) -> DiffusionEngine:
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.ckpt_dir:
+        bundle = ModelBundle.from_pretrained(args.ckpt_dir, args.model,
+                                             dtype=dtype, param_dtype=dtype)
+    else:
+        bundle = ModelBundle.random_init(args.model, seed=0, dtype=dtype,
+                                         param_dtype=dtype)
+    return DiffusionEngine(bundle, solver=args.method, nfe=nfe or args.NFE)

@@ -1,0 +1,53 @@
+"""Text-to-image CLI.
+
+Parity surface with `examples/text_to_img.py` (same flags, same output path
+`<workdir>/result/generated.png`), plus --ckpt_dir / --resolution / --dtype.
+Run: ``python -m cfgpp_tpu.cli.text_to_img --model sd15 --method ddim_cfg++
+--cfg_guidance 0.6 --prompt "..."``.
+
+Differences from the reference (documented quirk fixes, SURVEY.md §7):
+* ``--model sd20`` actually selects an SD-2.x architecture instead of
+  silently running SD-1.5 (examples/text_to_img.py:21,47-50).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from cfgpp_tpu.cli.common import add_common_args, build_engine
+from cfgpp_tpu.engine.callbacks import ComposeCallback
+from cfgpp_tpu.utils import create_workdir, save_image
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="cfgpp_tpu text-to-image")
+    add_common_args(parser, default_method="ddim", default_nfe=50)
+    parser.add_argument("--callbacks", type=str, nargs="*", default=None,
+                        help="e.g. draw_noisy draw_tweedie")
+    parser.add_argument("--callback_frequency", type=int, default=1)
+    args = parser.parse_args(argv)
+
+    workdir = Path(args.workdir or "workdir/t2i")
+    create_workdir(workdir)
+
+    callback = None
+    if args.callbacks:
+        callback = ComposeCallback(workdir=workdir, callbacks=args.callbacks,
+                                   frequency=args.callback_frequency)
+
+    engine = build_engine(args)
+    result = engine.sample(
+        prompt=[args.null_prompt, args.prompt],
+        cfg_guidance=args.cfg_guidance,
+        seed=args.seed,
+        resolution=args.resolution,
+        callback_fn=callback,
+    )
+    out = workdir / "result" / "generated.png"
+    save_image(result, out, normalize_img=True)
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -195,7 +195,7 @@ def tiny_sdxl_config() -> ModelBundleConfig:
             layers_per_block=1,
             transformer_layers_per_block=(1, 2),
             num_attention_heads=(2, 2),
-            cross_attention_dim=64,
+            cross_attention_dim=80,   # = concat of the two encoders (32 + 48)
             use_linear_projection=True,
             norm_num_groups=8,
             addition_embed_type="text_time",

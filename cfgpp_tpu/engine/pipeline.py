@@ -1,0 +1,376 @@
+"""DiffusionEngine: jit-compiled end-to-end text-to-image pipelines.
+
+The TPU-native equivalent of the reference's solver `.sample()` methods
+(`latent_diffusion.py:254-299`, `latent_sdxl.py:200-266`): tokenize (host)
+-> text encode -> lax.scan solver loop with cond/uncond fused into one
+batch-2B UNet call -> VAE decode, all inside ONE jit per
+(solver, NFE, resolution, batch, guidance-mode) tuple, cached.
+
+Guidance batching matches `predict_noise` (`latent_diffusion.py:131-158`):
+a single UNet call on the stacked [uncond; cond] batch, with degenerate
+single-branch calls when w==0, or when w==1 under plain CFG (CFG++ still
+needs the true unconditional eps for renoising, so it always runs dual).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfgpp_tpu.engine.bundle import ModelBundle
+from cfgpp_tpu.schedules.ddim import make_ddim_schedule
+from cfgpp_tpu.solvers.plans import plan_ddim_inversion
+from cfgpp_tpu.solvers.registry import get_solver_spec
+from cfgpp_tpu.solvers.sampler import (
+    init_latent,
+    init_latent_per_sample,
+    run_inversion,
+    run_solver,
+    run_solver_unrolled,
+)
+
+
+def _needs_branches(cfgpp: bool, w: float) -> Tuple[bool, bool]:
+    """(needs_uncond, needs_cond).  latent_diffusion.py:144-158 semantics."""
+    if w == 0.0:
+        return True, False
+    if w == 1.0 and not cfgpp:
+        return False, True
+    return True, True
+
+
+class DiffusionEngine:
+    """One (model bundle, solver, NFE) sampling engine with compile caching."""
+
+    def __init__(self, bundle: ModelBundle, solver: str = "ddim_cfg++",
+                 nfe: int = 50):
+        self.bundle = bundle
+        self.solver_name = solver
+        self.nfe = nfe
+        self.spec = get_solver_spec(solver, bundle.family)
+        self.schedule = make_ddim_schedule(
+            nfe, timestep_spacing=self.spec.timestep_spacing)
+        self.plan = self.spec.plan_fn(self.schedule)
+        self.inv_plan = plan_ddim_inversion(self.schedule)
+        self._cache: Dict[Any, Callable] = {}
+
+    # ------------------------------------------------------------------ host
+    def tokenize(self, prompts: Sequence[str]) -> jnp.ndarray:
+        return jnp.asarray(self.bundle.tokenizer(list(prompts)))
+
+    def tokenize_2(self, prompts: Sequence[str]) -> jnp.ndarray:
+        return jnp.asarray(self.bundle.tokenizer_2(list(prompts)))
+
+    def default_resolution(self) -> int:
+        return self.bundle.config.default_resolution
+
+    def latent_shape(self, batch: int, resolution: int) -> Tuple[int, int, int, int]:
+        s = resolution // self.bundle.vae_scale_factor
+        return (batch, s, s, self.bundle.latent_channels)
+
+    def make_add_time_ids(self, batch: int,
+                          original_size: Tuple[int, int],
+                          crops_coords_top_left: Tuple[int, int],
+                          target_size: Tuple[int, int]) -> np.ndarray:
+        """latent_sdxl.py:187-198 incl. the add_embedding width validation."""
+        ids = list(original_size) + list(crops_coords_top_left) + list(target_size)
+        cfg = self.bundle.config.unet
+        expected = cfg.projection_class_embeddings_input_dim
+        passed = cfg.addition_time_embed_dim * len(ids) + \
+            self.bundle.config.text_encoder_2.projection_dim
+        if expected != passed:
+            raise ValueError(
+                f"Model expects an added time embedding vector of length {expected}, "
+                f"but a vector of {passed} was created.")
+        return np.tile(np.asarray(ids, np.float32)[None], (batch, 1))
+
+    # ------------------------------------------------------- embedding (jit)
+    def _text_embed_sd(self, params, ids):
+        out = self.bundle.text_encoder.apply(params, ids)
+        return out.last_hidden_state
+
+    def _text_embed_sdxl(self, params, params2, ids1, ids2):
+        """Dual-encoder embed (latent_sdxl.py:96-128): penultimate hidden
+        states concatenated on the feature dim; pooled ALWAYS from encoder-2."""
+        o1 = self.bundle.text_encoder.apply(params, ids1)
+        o2 = self.bundle.text_encoder_2.apply(params2, ids2)
+        embeds = jnp.concatenate(
+            [o1.penultimate_hidden_state, o2.penultimate_hidden_state], axis=-1)
+        return embeds, o2.pooled_output
+
+    # ------------------------------------------------------------ eps closure
+    def _make_eps_fn(self, unet_params, uc, c, w: float,
+                     added_uc: Optional[Tuple] = None,
+                     added_c: Optional[Tuple] = None):
+        """Batched cond/uncond epsilon function for the scan body."""
+        unet = self.bundle.unet
+        needs_uc, needs_c = _needs_branches(self.spec.cfgpp, w)
+
+        def apply(z, t, ctx, added):
+            args = (z, t, ctx) + (added if added is not None else ())
+            return unet.apply(unet_params, *args)
+
+        if needs_uc and needs_c:
+            ctx = jnp.concatenate([uc, c], axis=0)
+            added = None
+            if added_uc is not None:
+                added = tuple(jnp.concatenate([a, b], axis=0)
+                              for a, b in zip(added_uc, added_c))
+
+            def eps_fn(z, t):
+                b = z.shape[0]
+                z2 = jnp.concatenate([z, z], axis=0)
+                t2 = jnp.broadcast_to(t, (2 * b,))
+                out = apply(z2, t2, ctx, added)
+                return out[:b], out[b:]
+            return eps_fn
+
+        ctx = uc if needs_uc else c
+        added = added_uc if needs_uc else added_c
+
+        def eps_fn(z, t):
+            out = apply(z, jnp.broadcast_to(t, (z.shape[0],)), ctx, added)
+            return out, out
+        return eps_fn
+
+    # ------------------------------------------------------------- vae (jit)
+    def _decode(self, vae_params, z):
+        scale = self.bundle.config.vae.scaling_factor
+        img = self.bundle.vae.apply(vae_params, (z / scale).astype(jnp.float32),
+                                    method=self.bundle.vae.decode)
+        return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+    def _encode(self, vae_params, img, key):
+        scale = self.bundle.config.vae.scaling_factor
+        z = self.bundle.vae.apply(vae_params, img.astype(jnp.float32), key,
+                                  method=self.bundle.vae.sample_latent)
+        return z * scale
+
+    def decode_fn(self) -> Callable:
+        """Host-callable jitted decoder (the `decode` passed to callbacks)."""
+        vae_params = self.bundle.vae_params
+        return jax.jit(lambda z: self._decode(vae_params, z))
+
+    # ---------------------------------------------------------------- sample
+    def sample(
+        self,
+        prompt: Sequence[str],
+        cfg_guidance: float = 7.5,
+        seed: int = 42,
+        prompt_2: Optional[Sequence[str]] = None,
+        resolution: Optional[int] = None,
+        src_img: Optional[jnp.ndarray] = None,
+        callback_fn: Optional[Callable] = None,
+        unrolled: bool = False,
+        original_size: Optional[Tuple[int, int]] = None,
+        crops_coords_top_left: Tuple[int, int] = (0, 0),
+        target_size: Optional[Tuple[int, int]] = None,
+    ) -> np.ndarray:
+        """Generate images.  ``prompt`` is [null, cond] (or [null, src, tgt]
+        for edit solvers), mirroring the reference CLIs.  Returns float32
+        NHWC images in [0, 1]."""
+        family = self.bundle.family
+        res = resolution or self.default_resolution()
+        if self.spec.edit:
+            null_p, src_p, tgt_p = prompt[0], prompt[1], prompt[2]
+            cond_prompts = [src_p, tgt_p]
+        else:
+            null_p, cond_p = prompt[0], prompt[1]
+            cond_prompts = [cond_p]
+
+        batch = 1
+        key = jax.random.PRNGKey(seed)
+        k_init, k_noise, k_enc = jax.random.split(key, 3)
+
+        ids_uc = self.tokenize([null_p] * batch)
+        ids_cs = [self.tokenize([p] * batch) for p in cond_prompts]
+
+        kwargs: Dict[str, Any] = {}
+        if family == "sdxl":
+            p2 = prompt_2 if prompt_2 is not None else prompt
+            null_p2 = p2[0]
+            cond_p2s = list(p2[1:]) if self.spec.edit else [p2[1]]
+            kwargs["ids2_uc"] = self.tokenize_2([null_p2] * batch)
+            kwargs["ids2_cs"] = [self.tokenize_2([p] * batch) for p in cond_p2s]
+            osz = original_size or (res, res)
+            tsz = target_size or (res, res)
+            kwargs["time_ids"] = jnp.asarray(
+                self.make_add_time_ids(batch, osz, crops_coords_top_left, tsz))
+
+        zshape = self.latent_shape(batch, res)
+        if self.spec.inversion:
+            if src_img is None:
+                raise ValueError(f"solver {self.solver_name} needs src_img")
+            src_img = jnp.asarray(src_img, jnp.float32)
+        else:
+            src_img = jnp.zeros((batch, 8, 8, 3), jnp.float32)  # placeholder
+
+        runner = self._get_runner(
+            w=float(cfg_guidance), batch=batch, res=res,
+            n_cond=len(ids_cs), with_traj=callback_fn is not None and not unrolled,
+            unrolled=unrolled)
+
+        if unrolled:
+            img, traj = runner(ids_uc, ids_cs, src_img, k_init, k_noise, k_enc,
+                               kwargs, callback_fn)
+        else:
+            img, traj = runner(ids_uc, ids_cs, src_img, k_init, k_noise, k_enc, kwargs)
+
+        if callback_fn is not None and not unrolled:
+            self._replay_callbacks(callback_fn, traj)
+        return np.asarray(img)
+
+    def sample_batch(
+        self,
+        null_prompt: str,
+        prompts: Sequence[str],
+        cfg_guidance: float = 7.5,
+        seed: int = 42,
+        resolution: Optional[int] = None,
+        sample_indices: Optional[Sequence[int]] = None,
+        mesh=None,
+        null_prompt_2: Optional[str] = None,
+        prompts_2: Optional[Sequence[str]] = None,
+        original_size: Optional[Tuple[int, int]] = None,
+        crops_coords_top_left: Tuple[int, int] = (0, 0),
+        target_size: Optional[Tuple[int, int]] = None,
+    ) -> np.ndarray:
+        """Batched T2I: one fused run over B prompts, optionally sharded
+        data-parallel over a device mesh (the TPU replacement for the
+        reference's serial MS-COCO loop, examples/text_to_mscoco.py:54-62).
+
+        ``sample_indices`` keys each sample's noise stream by its GLOBAL
+        index, so results are identical across batch sizes / shardings.
+        """
+        if self.spec.inversion or self.spec.edit:
+            raise ValueError("sample_batch supports plain T2I solvers only")
+        batch = len(prompts)
+        res = resolution or self.default_resolution()
+        idx = np.asarray(sample_indices if sample_indices is not None
+                         else np.arange(batch), np.uint32)
+        base = jax.random.PRNGKey(seed)
+        sample_keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.asarray(idx))
+
+        ids_uc = self.tokenize([null_prompt] * batch)
+        ids_cs = [self.tokenize(list(prompts))]
+        kwargs: Dict[str, Any] = {}
+        if self.bundle.family == "sdxl":
+            np2 = null_prompt_2 if null_prompt_2 is not None else null_prompt
+            ps2 = list(prompts_2) if prompts_2 is not None else list(prompts)
+            kwargs["ids2_uc"] = self.tokenize_2([np2] * batch)
+            kwargs["ids2_cs"] = [self.tokenize_2(ps2)]
+            osz = original_size or (res, res)
+            tsz = target_size or (res, res)
+            kwargs["time_ids"] = jnp.asarray(
+                self.make_add_time_ids(batch, osz, crops_coords_top_left, tsz))
+
+        if mesh is not None:
+            from cfgpp_tpu.parallel import shard_batch
+            ids_uc = shard_batch(ids_uc, mesh)
+            ids_cs = shard_batch(ids_cs, mesh)
+            sample_keys = shard_batch(sample_keys, mesh)
+            kwargs = shard_batch(kwargs, mesh)
+
+        runner = self._get_runner(w=float(cfg_guidance), batch=batch, res=res,
+                                  n_cond=1, with_traj=False, unrolled=False)
+        dummy = jnp.zeros((batch, 8, 8, 3), jnp.float32)
+        k_enc = jax.random.PRNGKey(0)
+        img, _ = runner(ids_uc, ids_cs, dummy, sample_keys, sample_keys, k_enc, kwargs)
+        return np.asarray(img)
+
+    # ------------------------------------------------------------- internals
+    def _get_runner(self, w: float, batch: int, res: int, n_cond: int,
+                    with_traj: bool, unrolled: bool):
+        cache_key = (w, batch, res, n_cond, with_traj, unrolled)
+        if cache_key in self._cache:
+            return self._cache[cache_key]
+
+        spec, plan, bundle = self.spec, self.plan, self.bundle
+        family = bundle.family
+        params = {"unet": bundle.unet_params, "vae": bundle.vae_params,
+                  "text": bundle.text_params, "text2": bundle.text_params_2}
+
+        def embed(ids_uc, ids_cs, kwargs):
+            if family == "sdxl":
+                uc, pool_uc = self._text_embed_sdxl(
+                    params["text"], params["text2"], ids_uc, kwargs["ids2_uc"])
+                cs, pool_cs = [], []
+                for i1, i2 in zip(ids_cs, kwargs["ids2_cs"]):
+                    c, pc = self._text_embed_sdxl(params["text"], params["text2"], i1, i2)
+                    cs.append(c)
+                    pool_cs.append(pc)
+                return uc, cs, pool_uc, pool_cs
+            uc = self._text_embed_sd(params["text"], ids_uc)
+            cs = [self._text_embed_sd(params["text"], i) for i in ids_cs]
+            return uc, cs, None, None
+
+        def added_for(pool_uc, pool_c, kwargs):
+            if family != "sdxl":
+                return None, None
+            t_ids = kwargs["time_ids"]
+            return (pool_uc, t_ids), (pool_c, t_ids)
+
+        def core(ids_uc, ids_cs, src_img, k_init, k_noise, k_enc, kwargs,
+                 callback_fn=None):
+            uc, cs, pool_uc, pool_cs = embed(ids_uc, ids_cs, kwargs)
+            # sampling conditioning: edit solvers invert with src (cs[0]) and
+            # resample with tgt (cs[-1]); plain solvers use cs[0].
+            c_sample = cs[-1]
+            pool_sample = pool_cs[-1] if pool_cs else None
+            added_uc, added_c = added_for(pool_uc, pool_sample, kwargs)
+            eps_fn = self._make_eps_fn(params["unet"], uc, c_sample, w,
+                                       added_uc, added_c)
+
+            if spec.inversion:
+                z0 = self._encode(params["vae"], src_img, k_enc)
+                added_uc_inv, added_c_inv = added_for(
+                    pool_uc, pool_cs[0] if pool_cs else None, kwargs)
+                inv_eps = self._make_eps_fn(params["unet"], uc, cs[0], w,
+                                            added_uc_inv, added_c_inv)
+                zT = run_inversion(spec, self.inv_plan, inv_eps, z0, w)
+            elif k_init.ndim == 2:
+                # per-sample keys [B,2]: batched/sharded generation
+                init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(k_init)
+                zT = init_latent_per_sample(plan, init_keys,
+                                            self.latent_shape(batch, res))
+            else:
+                zT = init_latent(plan, k_init, self.latent_shape(batch, res))
+            noise_key = k_noise
+            if plan.needs_noise and k_noise.ndim == 2:
+                noise_key = jax.vmap(lambda k: jax.random.fold_in(k, 1))(k_noise)
+
+            if unrolled:
+                final = run_solver_unrolled(
+                    spec, plan, eps_fn, zT, w,
+                    noise_key=noise_key if plan.needs_noise else None,
+                    callback=callback_fn, decode_fn=self.decode_fn())
+                traj = None
+            else:
+                final, traj = run_solver(
+                    spec, plan, eps_fn, zT, w,
+                    noise_key=noise_key if plan.needs_noise else None,
+                    return_trajectory=with_traj)
+            img = self._decode(params["vae"], final)
+            return img, traj
+
+        if unrolled:
+            runner = core                      # eager/debug path, no jit
+        else:
+            jit_core = jax.jit(
+                lambda ids_uc, ids_cs, src_img, k_init, k_noise, k_enc, kwargs:
+                core(ids_uc, ids_cs, src_img, k_init, k_noise, k_enc, kwargs))
+            runner = jit_core
+        self._cache[cache_key] = runner
+        return runner
+
+    def _replay_callbacks(self, callback_fn, traj):
+        """Post-hoc callback replay over the fused trajectory (non-mutating)."""
+        z0s, zts = traj
+        decode = self.decode_fn()
+        ts = self.plan.coeffs["t"]
+        for i in range(self.plan.n_steps):
+            callback_fn(i, int(ts[i]), {"z0t": z0s[i], "zt": zts[i], "decode": decode})

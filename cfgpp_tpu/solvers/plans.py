@@ -179,9 +179,9 @@ def plan_dpmpp_2s_ancestral(schedule: DDIMSchedule) -> SolverPlan:
         needs_noise=True,
         final="x",
         tail_coeffs={
-            "t": float(timestep_log_nearest(sig[-1], log_sigmas)),
+            "t": int(np.ravel(timestep_log_nearest(sig[-1], log_sigmas))[0]),
             "sigma": float(sig[-1]),
-            "c_in": float(calculate_input_scale(sig[-1])),
+            "c_in": float(np.ravel(calculate_input_scale(sig[-1]))[0]),
         },
     )
 

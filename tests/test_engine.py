@@ -1,0 +1,132 @@
+"""End-to-end engine tests on tiny random-init models (SURVEY.md §4:
+'small-model fakes ... so solver/integration tests run in seconds')."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfgpp_tpu.engine import ComposeCallback, DiffusionEngine, ModelBundle
+
+
+@pytest.fixture(scope="module")
+def sd_bundle():
+    return ModelBundle.random_init("tiny_sd", dtype=jnp.float32,
+                                   param_dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def sdxl_bundle():
+    return ModelBundle.random_init("tiny_sdxl", dtype=jnp.float32,
+                                   param_dtype=jnp.float32)
+
+
+def test_sd_t2i_ddim_cfgpp(sd_bundle):
+    eng = DiffusionEngine(sd_bundle, solver="ddim_cfg++", nfe=4)
+    img = eng.sample(["", "a photo of a cat"], cfg_guidance=0.6, seed=42,
+                     resolution=16)
+    assert img.shape == (1, 16, 16, 3)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    # determinism: same seed -> same image
+    img2 = eng.sample(["", "a photo of a cat"], cfg_guidance=0.6, seed=42,
+                      resolution=16)
+    np.testing.assert_array_equal(img, img2)
+    # different seed -> different image
+    img3 = eng.sample(["", "a photo of a cat"], cfg_guidance=0.6, seed=7,
+                      resolution=16)
+    assert not np.array_equal(img, img3)
+
+
+@pytest.mark.parametrize("solver", ["ddim", "euler", "euler_a", "dpm++_2s_a",
+                                    "dpm++_2m", "euler_cfg++", "dpm++_2m_cfg++"])
+def test_sd_all_solver_kinds(sd_bundle, solver):
+    eng = DiffusionEngine(sd_bundle, solver=solver, nfe=3)
+    img = eng.sample(["", "x"], cfg_guidance=2.0, seed=0, resolution=16)
+    assert img.shape == (1, 16, 16, 3)
+    assert np.isfinite(img).all()
+
+
+def test_sd_guidance_degenerate_paths(sd_bundle):
+    eng = DiffusionEngine(sd_bundle, solver="ddim", nfe=3)
+    for w in (0.0, 1.0, 7.5):
+        img = eng.sample(["", "x"], cfg_guidance=w, seed=0, resolution=16)
+        assert np.isfinite(img).all()
+
+
+def test_sd_inversion_reconstruction(sd_bundle):
+    eng = DiffusionEngine(sd_bundle, solver="ddim_inversion_cfg++", nfe=3)
+    src = np.zeros((1, 16, 16, 3), np.float32)
+    img = eng.sample(["", "a dog"], cfg_guidance=1.0, seed=0, resolution=16,
+                     src_img=src)
+    assert img.shape == (1, 16, 16, 3)
+    with pytest.raises(ValueError, match="src_img"):
+        eng.sample(["", "a dog"], cfg_guidance=1.0, seed=0, resolution=16)
+
+
+def test_sd_edit_word_swap(sd_bundle):
+    eng = DiffusionEngine(sd_bundle, solver="ddim_edit_cfg++", nfe=3)
+    src = np.zeros((1, 16, 16, 3), np.float32)
+    img = eng.sample(["", "a cat", "a dog"], cfg_guidance=1.0, seed=0,
+                     resolution=16, src_img=src)
+    assert img.shape == (1, 16, 16, 3)
+
+
+def test_sdxl_t2i_with_micro_conditioning(sdxl_bundle):
+    eng = DiffusionEngine(sdxl_bundle, solver="ddim_cfg++", nfe=3)
+    img = eng.sample(["", "a cat"], cfg_guidance=2.0, seed=0, resolution=16,
+                     original_size=(16, 16), target_size=(16, 16))
+    assert img.shape == (1, 16, 16, 3)
+    # micro-conditioning reaches the UNet: different original_size changes output
+    img2 = eng.sample(["", "a cat"], cfg_guidance=2.0, seed=0, resolution=16,
+                      original_size=(32, 32), target_size=(16, 16))
+    assert not np.array_equal(img, img2)
+
+
+def test_sdxl_dpm2m_cfgpp(sdxl_bundle):
+    eng = DiffusionEngine(sdxl_bundle, solver="dpm++_2m_cfgpp", nfe=4)
+    img = eng.sample(["", "a cat"], cfg_guidance=2.0, seed=0, resolution=16)
+    assert np.isfinite(img).all()
+
+
+def test_sdxl_lightning_w1(sdxl_bundle):
+    eng = DiffusionEngine(sdxl_bundle, solver="ddim_cfg++_lightning", nfe=4)
+    img = eng.sample(["", "a cat"], cfg_guidance=1.0, seed=0, resolution=16)
+    assert np.isfinite(img).all()
+    with pytest.raises(ValueError, match="lightning"):
+        eng.sample(["", "a cat"], cfg_guidance=2.0, seed=0, resolution=16)
+
+
+def test_callbacks_fused_replay(sd_bundle, tmp_path):
+    eng = DiffusionEngine(sd_bundle, solver="ddim_cfg++", nfe=3)
+    cb = ComposeCallback(workdir=tmp_path, callbacks=["draw_tweedie", "draw_noisy"],
+                         frequency=1)
+    eng.sample(["", "x"], cfg_guidance=0.6, seed=0, resolution=16, callback_fn=cb)
+    tweedie = list((tmp_path / "record/tweedie").glob("*.png"))
+    noisy = list((tmp_path / "record/noisy").glob("*.png"))
+    assert len(tweedie) == 3 and len(noisy) == 3
+
+
+def test_unrolled_matches_fused(sd_bundle):
+    """The debug (python-loop) mode must reproduce the fused scan exactly."""
+    eng = DiffusionEngine(sd_bundle, solver="ddim_cfg++", nfe=3)
+    fused = eng.sample(["", "x"], cfg_guidance=0.6, seed=5, resolution=16)
+    unrolled = eng.sample(["", "x"], cfg_guidance=0.6, seed=5, resolution=16,
+                          unrolled=True)
+    # jit-fused vs eager op-by-op differ only by fusion rounding
+    np.testing.assert_allclose(fused, unrolled, atol=1e-4)
+
+
+def test_unrolled_mutating_callback(sd_bundle):
+    """Mutation feedback: zeroing zt mid-run must change the result
+    (reference parity: latent_diffusion.py:292-294)."""
+    eng = DiffusionEngine(sd_bundle, solver="ddim_cfg++", nfe=3)
+
+    def mutate(step, t, kw):
+        if step == 0:
+            kw["zt"] = kw["zt"] * 0.0
+        return kw
+
+    base = eng.sample(["", "x"], cfg_guidance=0.6, seed=5, resolution=16,
+                      unrolled=True)
+    mutated = eng.sample(["", "x"], cfg_guidance=0.6, seed=5, resolution=16,
+                         unrolled=True, callback_fn=mutate)
+    assert not np.array_equal(base, mutated)
