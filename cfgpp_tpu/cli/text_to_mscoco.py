@@ -20,7 +20,7 @@ import time
 from pathlib import Path
 
 from cfgpp_tpu.cli.common import add_common_args, build_engine
-from cfgpp_tpu.utils import create_workdir, save_image
+from cfgpp_tpu.utils import create_workdir
 
 
 def read_prompts(path: str, limit: int) -> list:
@@ -62,33 +62,41 @@ def main(argv=None):
             mesh = make_mesh()
             print(f"data-parallel over {n_dev} devices")
 
+    from cfgpp_tpu.native import AsyncPngWriter
+
     bs = args.batch_size
     t0 = time.time()
     done = 0
-    for start in range(0, len(prompts), bs):
-        chunk = prompts[start:start + bs]
-        indices = list(range(start, start + len(chunk)))
-        paths = [workdir / f"{i:05d}.png" for i in indices]
-        if args.resume and all(p.exists() for p in paths):
-            continue
-        # pad the tail chunk to the full batch so the jit cache stays warm
-        pad = bs - len(chunk)
-        run_prompts = chunk + [""] * pad
-        run_indices = indices + list(range(start + len(chunk), start + bs))
-        imgs = engine.sample_batch(
-            null_prompt=args.null_prompt,
-            prompts=run_prompts,
-            cfg_guidance=args.cfg_guidance,
-            seed=args.seed,
-            resolution=args.resolution,
-            sample_indices=run_indices,
-            mesh=mesh,
-        )
-        for img, p in zip(imgs[: len(chunk)], paths):
-            save_image(img[None], p, normalize_img=True)
-        done += len(chunk)
-        dt = time.time() - t0
-        print(f"[{done}/{len(prompts)}] {done / dt:.3f} img/s", flush=True)
+    with AsyncPngWriter(n_threads=8) as writer:
+        if writer.is_native:
+            print("native async PNG writer active")
+        for start in range(0, len(prompts), bs):
+            chunk = prompts[start:start + bs]
+            indices = list(range(start, start + len(chunk)))
+            paths = [workdir / f"{i:05d}.png" for i in indices]
+            if args.resume and all(p.exists() for p in paths):
+                continue
+            # pad the tail chunk to the full batch so the jit cache stays warm
+            pad = bs - len(chunk)
+            run_prompts = chunk + [""] * pad
+            run_indices = indices + list(range(start + len(chunk), start + bs))
+            imgs = engine.sample_batch(
+                null_prompt=args.null_prompt,
+                prompts=run_prompts,
+                cfg_guidance=args.cfg_guidance,
+                seed=args.seed,
+                resolution=args.resolution,
+                sample_indices=run_indices,
+                mesh=mesh,
+            )
+            for img, p in zip(imgs[: len(chunk)], paths):
+                writer.submit(p, img)   # overlaps PNG encode/IO with compute
+            done += len(chunk)
+            dt = time.time() - t0
+            print(f"[{done}/{len(prompts)}] {done / dt:.3f} img/s", flush=True)
+        failed = writer.wait()
+        if failed:
+            print(f"WARNING: {failed} image writes failed")
 
     stats = {"num_images": done, "seconds": time.time() - t0,
              "images_per_sec": done / max(time.time() - t0, 1e-9)}

@@ -151,9 +151,11 @@ class DiffusionEngine:
         return z * scale
 
     def decode_fn(self) -> Callable:
-        """Host-callable jitted decoder (the `decode` passed to callbacks)."""
+        """Host-callable jitted decoder (the `decode` passed to callbacks).
+        Params are passed as arguments, not baked as jit constants."""
+        jitted = jax.jit(self._decode)
         vae_params = self.bundle.vae_params
-        return jax.jit(lambda z: self._decode(vae_params, z))
+        return lambda z: jitted(vae_params, z)
 
     # ---------------------------------------------------------------- sample
     def sample(
@@ -294,7 +296,7 @@ class DiffusionEngine:
         params = {"unet": bundle.unet_params, "vae": bundle.vae_params,
                   "text": bundle.text_params, "text2": bundle.text_params_2}
 
-        def embed(ids_uc, ids_cs, kwargs):
+        def embed(params, ids_uc, ids_cs, kwargs):
             if family == "sdxl":
                 uc, pool_uc = self._text_embed_sdxl(
                     params["text"], params["text2"], ids_uc, kwargs["ids2_uc"])
@@ -314,9 +316,9 @@ class DiffusionEngine:
             t_ids = kwargs["time_ids"]
             return (pool_uc, t_ids), (pool_c, t_ids)
 
-        def core(ids_uc, ids_cs, src_img, k_init, k_noise, k_enc, kwargs,
-                 callback_fn=None):
-            uc, cs, pool_uc, pool_cs = embed(ids_uc, ids_cs, kwargs)
+        def core(params, ids_uc, ids_cs, src_img, k_init, k_noise, k_enc,
+                 kwargs, callback_fn=None):
+            uc, cs, pool_uc, pool_cs = embed(params, ids_uc, ids_cs, kwargs)
             # sampling conditioning: edit solvers invert with src (cs[0]) and
             # resample with tgt (cs[-1]); plain solvers use cs[0].
             c_sample = cs[-1]
@@ -357,13 +359,21 @@ class DiffusionEngine:
             img = self._decode(params["vae"], final)
             return img, traj
 
+        # Params are ARGUMENTS of the jitted function, never closure
+        # captures: closed-over arrays get baked into the executable as
+        # constants (gigabytes duplicated in HBM + enormous compile times).
         if unrolled:
-            runner = core                      # eager/debug path, no jit
+            def runner(ids_uc, ids_cs, src_img, k_init, k_noise, k_enc, kwargs,
+                       callback_fn=None, _params=params):
+                return core(_params, ids_uc, ids_cs, src_img, k_init, k_noise,
+                            k_enc, kwargs, callback_fn)
         else:
-            jit_core = jax.jit(
-                lambda ids_uc, ids_cs, src_img, k_init, k_noise, k_enc, kwargs:
-                core(ids_uc, ids_cs, src_img, k_init, k_noise, k_enc, kwargs))
-            runner = jit_core
+            jit_core = jax.jit(core)
+
+            def runner(ids_uc, ids_cs, src_img, k_init, k_noise, k_enc, kwargs,
+                       _params=params):
+                return jit_core(_params, ids_uc, ids_cs, src_img, k_init,
+                                k_noise, k_enc, kwargs)
         self._cache[cache_key] = runner
         return runner
 
