@@ -34,6 +34,10 @@ def add_common_args(parser: argparse.ArgumentParser, default_method: str = "ddim
                         help="directory with converted safetensors weights; "
                              "omitted -> random-init weights (no downloads "
                              "exist in this environment)")
+    parser.add_argument("--light_ckpt", type=str, default=None,
+                        help="single-file SGM-layout safetensors checkpoint "
+                             "(SDXL-Lightning), e.g. "
+                             "ckpt/sdxl_lightning_4step_unet.safetensors")
     parser.add_argument("--resolution", type=int, default=None)
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=("bfloat16", "float32"))
@@ -41,7 +45,12 @@ def add_common_args(parser: argparse.ArgumentParser, default_method: str = "ddim
 
 def build_engine(args, nfe: Optional[int] = None) -> DiffusionEngine:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    if args.ckpt_dir:
+    if getattr(args, "light_ckpt", None):
+        from cfgpp_tpu.weights.single_file import load_single_file_bundle
+        bundle = ModelBundle.random_init(args.model, seed=0, dtype=dtype,
+                                         param_dtype=dtype)
+        bundle = load_single_file_bundle(bundle, args.light_ckpt)
+    elif args.ckpt_dir:
         bundle = ModelBundle.from_pretrained(args.ckpt_dir, args.model,
                                              dtype=dtype, param_dtype=dtype)
     else:
