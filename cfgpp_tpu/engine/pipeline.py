@@ -93,11 +93,12 @@ class DiffusionEngine:
         out = self.bundle.text_encoder.apply(params, ids)
         return out.last_hidden_state
 
-    def _text_embed_sdxl(self, params, params2, ids1, ids2):
-        """Dual-encoder embed (latent_sdxl.py:96-128): penultimate hidden
-        states concatenated on the feature dim; pooled ALWAYS from encoder-2."""
-        o1 = self.bundle.text_encoder.apply(params, ids1)
-        o2 = self.bundle.text_encoder_2.apply(params2, ids2)
+    def _text_embed_sdxl(self, params, params2, ids1, ids2, clip_skip=None):
+        """Dual-encoder embed (latent_sdxl.py:96-128): penultimate (or
+        clip_skip-selected) hidden states concatenated on the feature dim;
+        pooled ALWAYS from encoder-2."""
+        o1 = self.bundle.text_encoder.apply(params, ids1, clip_skip)
+        o2 = self.bundle.text_encoder_2.apply(params2, ids2, clip_skip)
         embeds = jnp.concatenate(
             [o1.penultimate_hidden_state, o2.penultimate_hidden_state], axis=-1)
         return embeds, o2.pooled_output
@@ -171,6 +172,7 @@ class DiffusionEngine:
         original_size: Optional[Tuple[int, int]] = None,
         crops_coords_top_left: Tuple[int, int] = (0, 0),
         target_size: Optional[Tuple[int, int]] = None,
+        clip_skip: Optional[int] = None,
     ) -> np.ndarray:
         """Generate images.  ``prompt`` is [null, cond] (or [null, src, tgt]
         for edit solvers), mirroring the reference CLIs.  Returns float32
@@ -214,7 +216,7 @@ class DiffusionEngine:
         runner = self._get_runner(
             w=float(cfg_guidance), batch=batch, res=res,
             n_cond=len(ids_cs), with_traj=callback_fn is not None and not unrolled,
-            unrolled=unrolled)
+            unrolled=unrolled, clip_skip=clip_skip)
 
         if unrolled:
             img, traj = runner(ids_uc, ids_cs, src_img, k_init, k_noise, k_enc,
@@ -286,8 +288,9 @@ class DiffusionEngine:
 
     # ------------------------------------------------------------- internals
     def _get_runner(self, w: float, batch: int, res: int, n_cond: int,
-                    with_traj: bool, unrolled: bool):
-        cache_key = (w, batch, res, n_cond, with_traj, unrolled)
+                    with_traj: bool, unrolled: bool,
+                    clip_skip: Optional[int] = None):
+        cache_key = (w, batch, res, n_cond, with_traj, unrolled, clip_skip)
         if cache_key in self._cache:
             return self._cache[cache_key]
 
@@ -299,10 +302,12 @@ class DiffusionEngine:
         def embed(params, ids_uc, ids_cs, kwargs):
             if family == "sdxl":
                 uc, pool_uc = self._text_embed_sdxl(
-                    params["text"], params["text2"], ids_uc, kwargs["ids2_uc"])
+                    params["text"], params["text2"], ids_uc, kwargs["ids2_uc"],
+                    clip_skip)
                 cs, pool_cs = [], []
                 for i1, i2 in zip(ids_cs, kwargs["ids2_cs"]):
-                    c, pc = self._text_embed_sdxl(params["text"], params["text2"], i1, i2)
+                    c, pc = self._text_embed_sdxl(params["text"], params["text2"],
+                                                  i1, i2, clip_skip)
                     cs.append(c)
                     pool_cs.append(pc)
                 return uc, cs, pool_uc, pool_cs

@@ -23,8 +23,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_KV = 512
+# Measured on TPU v5e (N=4096, D=64): 1024/1024 blocks reach ~72 TF/s vs
+# ~44 TF/s at 512/512; 2048/2048 exceeds the 16MB scoped-vmem limit.
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_KV = 1024
 NEG_INF = -1e30
 
 

@@ -79,7 +79,11 @@ class CLIPTextModel(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> CLIPTextOutput:
+    def __call__(self, input_ids: jnp.ndarray,
+                 clip_skip: Optional[int] = None) -> CLIPTextOutput:
+        """``clip_skip`` selects the hidden-state tap the way SDXL does
+        (`latent_sdxl.py:88-92`): None -> penultimate layer output
+        (HF hidden_states[-2]); k -> hidden_states[-(k+2)]."""
         cfg = self.config
         b, n = input_ids.shape
         tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
@@ -92,11 +96,13 @@ class CLIPTextModel(nn.Module):
         mask = jnp.triu(jnp.full((n, n), -jnp.inf, dtype=jnp.float32), k=1)
         mask = mask[None, None, :, :]
 
-        penultimate = x
+        hiddens = [x]   # HF hidden_states: [embeddings, layer1_out, ...]
         for i in range(cfg.num_layers):
-            penultimate = x
             x = CLIPEncoderLayer(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                                  name=f"layers_{i}")(x, mask)
+            hiddens.append(x)
+        skip = 0 if clip_skip is None else int(clip_skip)
+        penultimate = hiddens[-(skip + 2)]
 
         last = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                             param_dtype=self.param_dtype, name="final_layer_norm")(x)

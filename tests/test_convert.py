@@ -80,6 +80,12 @@ def test_clip_parity_vs_transformers(with_projection):
     np.testing.assert_allclose(np.asarray(out.pooled_output),
                                hf_pooled.numpy(), atol=2e-5)
 
+    # clip_skip tap: hidden_states[-(k+2)] (latent_sdxl.py:88-92)
+    import jax.numpy as jnp2
+    out_skip = ours.apply(params, jnp2.asarray(ids, jnp2.int32), 1)
+    np.testing.assert_allclose(np.asarray(out_skip.penultimate_hidden_state),
+                               hf_out.hidden_states[-3].numpy(), atol=2e-5)
+
 
 # ---------------------------------------------------------------------------
 # UNet / VAE converters: representative real key names

@@ -87,6 +87,27 @@ def test_sdxl_dpm2m_cfgpp(sdxl_bundle):
     assert np.isfinite(img).all()
 
 
+def test_sdxl_edit_word_swap(sdxl_bundle):
+    """3-prompt SDXL edit: invert with src conditioning, resample with tgt
+    (latent_sdxl.py:569-706, 954-1025)."""
+    eng = DiffusionEngine(sdxl_bundle, solver="ddim_edit_cfg++", nfe=3)
+    src = np.zeros((1, 16, 16, 3), np.float32)
+    img = eng.sample(["", "a cat", "a dog"], cfg_guidance=1.0, seed=0,
+                     resolution=16, src_img=src)
+    assert img.shape == (1, 16, 16, 3)
+    # tgt prompt must matter
+    img2 = eng.sample(["", "a cat", "a bird"], cfg_guidance=1.0, seed=0,
+                      resolution=16, src_img=src)
+    assert not np.array_equal(img, img2)
+
+
+def test_sdxl_euler_cfgpp(sdxl_bundle):
+    """SDXL euler_cfg++ uses VP sigmas from actual DDIM timesteps."""
+    eng = DiffusionEngine(sdxl_bundle, solver="euler_cfg++", nfe=3)
+    img = eng.sample(["", "a cat"], cfg_guidance=2.0, seed=0, resolution=16)
+    assert np.isfinite(img).all()
+
+
 def test_sdxl_lightning_w1(sdxl_bundle):
     eng = DiffusionEngine(sdxl_bundle, solver="ddim_cfg++_lightning", nfe=4)
     img = eng.sample(["", "a cat"], cfg_guidance=1.0, seed=0, resolution=16)
