@@ -23,11 +23,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Measured on TPU v5e (N=4096, D=64): 1024/1024 blocks reach ~72 TF/s vs
-# ~44 TF/s at 512/512; 2048/2048 exceeds the 16MB scoped-vmem limit.
+# Measured on TPU v5e (D=64): 1024/1024 blocks + exp2 softmax reach ~77 TF/s
+# at N=4096 (vs ~44 at 512/512 with exp) and ~172 TF/s at N=1024
+# (single-block); 2048/2048 exceeds the 16MB scoped-vmem limit.
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_KV = 1024
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch, *, scale):
@@ -44,16 +46,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
     k = k_ref[0]                       # [bkv, d]
     v = v_ref[0]
 
+    # Work in log2 space: exp2 is markedly cheaper than exp on the VPU
+    # (~1.7x whole-kernel speedup at N=1024); fold log2(e) into the scale.
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                          # [bq, bkv] f32
+    ) * (scale * LOG2E)                # [bq, bkv] f32, log2-scaled
 
     m_prev = m_scratch[:]              # [bq, 128] (broadcast lanes)
     m_cur = jnp.max(s, axis=1, keepdims=True)          # [bq, 1]
     m_next = jnp.maximum(m_prev, m_cur)                # [bq, 128]
 
-    p = jnp.exp(s - m_next[:, :1])                     # [bq, bkv]
-    alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])     # [bq, 1]
+    p = jnp.exp2(s - m_next[:, :1])                    # [bq, bkv]
+    alpha = jnp.exp2(m_prev[:, :1] - m_next[:, :1])    # [bq, 1]
 
     l_scratch[:] = l_scratch[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     m_scratch[:] = m_next

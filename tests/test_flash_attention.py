@@ -54,10 +54,11 @@ def test_flash_extreme_logits_stable():
 
 
 def test_flash_ragged_rejected():
-    q, k, v = rand_qkv(3, 1, 1024, 512, 1, 64)
-    # 1000 % 512 != 0 and can't shrink to a single block -> explicit error
+    q, k, v = rand_qkv(3, 1, 2048, 512, 1, 64)
+    # 1500 doesn't tile by the (shrunken) default block and isn't a single
+    # block -> explicit error rather than silent wrong output
     with pytest.raises(ValueError, match="tile"):
-        flash_attention(q[:, :1000], k, v, interpret=True)
+        flash_attention(q[:, :1500], k, v, interpret=True)
     # but a length equal to one block auto-shrinks and runs
     out = flash_attention(q[:, :500], k[:, :500], v[:, :500], interpret=True)
     assert out.shape == (1, 500, 1, 64)
