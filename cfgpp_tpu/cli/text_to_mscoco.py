@@ -70,6 +70,20 @@ def main(argv=None):
     with AsyncPngWriter(n_threads=8) as writer:
         if writer.is_native:
             print("native async PNG writer active")
+
+        def flush_pending(pending):
+            """Pull the previous batch to host + hand to the async writer —
+            runs while the NEXT batch computes on device."""
+            if pending is None:
+                return 0
+            dev_imgs, paths = pending
+            import numpy as _np
+            imgs = _np.asarray(dev_imgs)
+            for img, p in zip(imgs, paths):
+                writer.submit(p, img)
+            return len(paths)
+
+        pending = None
         for start in range(0, len(prompts), bs):
             chunk = prompts[start:start + bs]
             indices = list(range(start, start + len(chunk)))
@@ -80,7 +94,8 @@ def main(argv=None):
             pad = bs - len(chunk)
             run_prompts = chunk + [""] * pad
             run_indices = indices + list(range(start + len(chunk), start + bs))
-            imgs = engine.sample_batch(
+            # dispatch is async: this returns as soon as the work is enqueued
+            dev_imgs = engine.sample_batch(
                 null_prompt=args.null_prompt,
                 prompts=run_prompts,
                 cfg_guidance=args.cfg_guidance,
@@ -88,12 +103,14 @@ def main(argv=None):
                 resolution=args.resolution,
                 sample_indices=run_indices,
                 mesh=mesh,
+                as_numpy=False,
             )
-            for img, p in zip(imgs[: len(chunk)], paths):
-                writer.submit(p, img)   # overlaps PNG encode/IO with compute
-            done += len(chunk)
-            dt = time.time() - t0
-            print(f"[{done}/{len(prompts)}] {done / dt:.3f} img/s", flush=True)
+            done += flush_pending(pending)   # overlaps with device compute
+            pending = (dev_imgs[: len(chunk)], paths)
+            if done:
+                dt = time.time() - t0
+                print(f"[{done}/{len(prompts)}] {done / dt:.3f} img/s", flush=True)
+        done += flush_pending(pending)
         failed = writer.wait()
         if failed:
             print(f"WARNING: {failed} image writes failed")

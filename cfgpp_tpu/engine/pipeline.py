@@ -242,6 +242,7 @@ class DiffusionEngine:
         original_size: Optional[Tuple[int, int]] = None,
         crops_coords_top_left: Tuple[int, int] = (0, 0),
         target_size: Optional[Tuple[int, int]] = None,
+        as_numpy: bool = True,
     ) -> np.ndarray:
         """Batched T2I: one fused run over B prompts, optionally sharded
         data-parallel over a device mesh (the TPU replacement for the
@@ -249,6 +250,9 @@ class DiffusionEngine:
 
         ``sample_indices`` keys each sample's noise stream by its GLOBAL
         index, so results are identical across batch sizes / shardings.
+        ``as_numpy=False`` returns the device array WITHOUT blocking, so a
+        caller can dispatch the next batch before pulling this one to host
+        (the MS-COCO loop overlaps device compute with host image IO).
         """
         if self.spec.inversion or self.spec.edit:
             raise ValueError("sample_batch supports plain T2I solvers only")
@@ -284,7 +288,7 @@ class DiffusionEngine:
         dummy = jnp.zeros((batch, 8, 8, 3), jnp.float32)
         k_enc = jax.random.PRNGKey(0)
         img, _ = runner(ids_uc, ids_cs, dummy, sample_keys, sample_keys, k_enc, kwargs)
-        return np.asarray(img)
+        return np.asarray(img) if as_numpy else img
 
     # ------------------------------------------------------------- internals
     def _get_runner(self, w: float, batch: int, res: int, n_cond: int,
