@@ -141,9 +141,17 @@ class DiffusionEngine:
     # ------------------------------------------------------------- vae (jit)
     def _decode(self, vae_params, z):
         scale = self.bundle.config.vae.scaling_factor
-        img = self.bundle.vae.apply(vae_params, (z / scale).astype(jnp.float32),
-                                    method=self.bundle.vae.decode)
-        return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+        def one(zi):
+            img = self.bundle.vae.apply(vae_params, (zi / scale).astype(jnp.float32),
+                                        method=self.bundle.vae.decode)
+            return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+        # Decode per-image for larger batches: fp32 VAE intermediates at
+        # 1024^2 are ~2GB/image — decoding a whole batch at once OOMs HBM.
+        if z.shape[0] > 2:
+            return jax.lax.map(lambda zi: one(zi[None])[0], z)
+        return one(z)
 
     def _encode(self, vae_params, img, key):
         scale = self.bundle.config.vae.scaling_factor
