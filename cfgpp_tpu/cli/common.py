@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 from cfgpp_tpu.engine import DiffusionEngine, ModelBundle
 
-SD_MODELS = ("sd15", "sd20", "sd21", "tiny_sd")
+SD_MODELS = ("sd15", "sd20", "sd21", "sd21_v", "tiny_sd")
 SDXL_MODELS = ("sdxl", "sdxl_lightning", "tiny_sdxl")
 ALL_MODELS = SD_MODELS + SDXL_MODELS
 

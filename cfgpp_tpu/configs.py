@@ -37,6 +37,10 @@ class UNetConfig:
     addition_embed_type: Optional[str] = None      # None | "text_time"
     addition_time_embed_dim: int = 256
     projection_class_embeddings_input_dim: int = 2816
+    # "epsilon" (SD1.5/SD2-base/SDXL) or "v_prediction" (SD2.x-768v).
+    # v outputs are converted to eps at the eps_fn boundary so every solver
+    # works unchanged: eps = sqrt(abar_t) * v + sqrt(1-abar_t) * x_t.
+    prediction_type: str = "epsilon"
 
     @property
     def time_embed_dim(self) -> int:
@@ -121,6 +125,14 @@ def sd21_config() -> ModelBundleConfig:
         ),
         default_resolution=768,
     )
+
+
+def sd21_v_config() -> ModelBundleConfig:
+    """stabilityai/stable-diffusion-2-1 at 768 (v-prediction)."""
+    cfg = sd21_config()
+    return dataclasses.replace(
+        cfg, name="sd21_v",
+        unet=dataclasses.replace(cfg.unet, prediction_type="v_prediction"))
 
 
 def sdxl_config() -> ModelBundleConfig:
@@ -220,6 +232,7 @@ _PRESETS = {
     "sd15": sd15_config,
     "sd20": sd21_config,   # reference CLI accepts sd20; we map it to SD-2.1 for real
     "sd21": sd21_config,
+    "sd21_v": sd21_v_config,
     "sdxl": sdxl_config,
     "sdxl_lightning": sdxl_lightning_config,
     "tiny_sd": tiny_sd_config,

@@ -14,7 +14,6 @@ needs the true unconditional eps for renoising, so it always runs dual).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -110,10 +109,19 @@ class DiffusionEngine:
         """Batched cond/uncond epsilon function for the scan body."""
         unet = self.bundle.unet
         needs_uc, needs_c = _needs_branches(self.spec.cfgpp, w)
+        is_v = self.bundle.config.unet.prediction_type == "v_prediction"
+        abar = jnp.asarray(self.schedule.alphas_cumprod, jnp.float32)
 
         def apply(z, t, ctx, added):
             args = (z, t, ctx) + (added if added is not None else ())
-            return unet.apply(unet_params, *args)
+            out = unet.apply(unet_params, *args)
+            if is_v:
+                # v -> eps at the model boundary (SD2.x-768v):
+                # eps = sqrt(abar_t) v + sqrt(1-abar_t) x_t
+                a = jnp.take(abar, jnp.clip(t, 0, abar.shape[0] - 1))
+                a = a.reshape((-1,) + (1,) * (z.ndim - 1))
+                out = jnp.sqrt(a) * out + jnp.sqrt(1.0 - a) * z.astype(jnp.float32)
+            return out
 
         if needs_uc and needs_c:
             ctx = jnp.concatenate([uc, c], axis=0)

@@ -116,6 +116,41 @@ def test_sdxl_lightning_w1(sdxl_bundle):
         eng.sample(["", "a cat"], cfg_guidance=2.0, seed=0, resolution=16)
 
 
+def test_v_prediction_conversion(sd_bundle):
+    """v_prediction models: eps = sqrt(abar_t) v + sqrt(1-abar_t) x_t at the
+    eps_fn boundary, so all solvers run unchanged."""
+    import dataclasses
+
+    import jax
+
+    cfg = sd_bundle.config
+    v_cfg = dataclasses.replace(
+        cfg, name="tiny_v",
+        unet=dataclasses.replace(cfg.unet, prediction_type="v_prediction"))
+    v_bundle = dataclasses.replace(sd_bundle, config=v_cfg)
+
+    eng_eps = DiffusionEngine(sd_bundle, solver="ddim_cfg++", nfe=3)
+    eng_v = DiffusionEngine(v_bundle, solver="ddim_cfg++", nfe=3)
+
+    # same weights, different prediction handling -> different images
+    a = eng_eps.sample(["", "x"], cfg_guidance=0.6, seed=1, resolution=16)
+    b = eng_v.sample(["", "x"], cfg_guidance=0.6, seed=1, resolution=16)
+    assert not np.array_equal(a, b)
+
+    # verify the formula at one point
+    ids = eng_v.tokenize(["x"])
+    ctx = sd_bundle.text_encoder.apply(sd_bundle.text_params, ids).last_hidden_state
+    eps_fn = eng_v._make_eps_fn(sd_bundle.unet_params, ctx, ctx, 0.6)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    t = jnp.asarray(501, jnp.int32)
+    eps_uc, _ = eps_fn(z, t)
+    raw = sd_bundle.unet.apply(sd_bundle.unet_params, jnp.concatenate([z, z]),
+                               jnp.full((2,), t), jnp.concatenate([ctx, ctx]))[:1]
+    abar = eng_v.schedule.alphas_cumprod[501]
+    want = np.sqrt(abar) * np.asarray(raw) + np.sqrt(1 - abar) * np.asarray(z)
+    np.testing.assert_allclose(np.asarray(eps_uc), want, atol=1e-5)
+
+
 def test_callbacks_fused_replay(sd_bundle, tmp_path):
     eng = DiffusionEngine(sd_bundle, solver="ddim_cfg++", nfe=3)
     cb = ComposeCallback(workdir=tmp_path, callbacks=["draw_tweedie", "draw_noisy"],
