@@ -26,6 +26,10 @@ def main(argv=None):
     parser.add_argument("--callbacks", type=str, nargs="*", default=None,
                         help="e.g. draw_noisy draw_tweedie")
     parser.add_argument("--callback_frequency", type=int, default=1)
+    parser.add_argument("--prompt_2", type=str, default=None,
+                        help="SDXL second-encoder prompt (defaults to --prompt)")
+    parser.add_argument("--null_prompt_2", type=str, default=None)
+    parser.add_argument("--clip_skip", type=int, default=None)
     args = parser.parse_args(argv)
 
     workdir = Path(args.workdir or "workdir/t2i")
@@ -37,12 +41,18 @@ def main(argv=None):
                                    frequency=args.callback_frequency)
 
     engine = build_engine(args)
+    prompt_2 = None
+    if args.prompt_2 is not None or args.null_prompt_2 is not None:
+        prompt_2 = [args.null_prompt_2 or args.null_prompt,
+                    args.prompt_2 if args.prompt_2 is not None else args.prompt]
     result = engine.sample(
         prompt=[args.null_prompt, args.prompt],
+        prompt_2=prompt_2,
         cfg_guidance=args.cfg_guidance,
         seed=args.seed,
         resolution=args.resolution,
         callback_fn=callback,
+        clip_skip=args.clip_skip,
     )
     out = workdir / "result" / "generated.png"
     save_image(result, out, normalize_img=True)
