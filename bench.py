@@ -13,11 +13,19 @@ Prints ONE JSON line:
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--op_point", type=str, default="sdxl",
+                        choices=("sdxl", "sd15"),
+                        help="sdxl: 1024^2 25-NFE dpm++_2m_cfgpp (headline); "
+                             "sd15: 512^2 50-NFE ddim_cfg++ lambda=0.6")
+    args = parser.parse_args()
+
     import jax
 
     # Persistent compilation cache: the SDXL scan is expensive to compile
@@ -30,25 +38,35 @@ def main():
     from cfgpp_tpu.engine import DiffusionEngine, ModelBundle
 
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
+    if not on_tpu:  # CPU smoke fallback so the script always runs
+        model, solver, res, nfe, reps, batch, w = \
+            "tiny_sdxl", "dpm++_2m_cfgpp", 64, 4, 2, 2, 5.0
+        family = "SDXL"
+        dtype = jnp.float32
+    elif args.op_point == "sd15":
+        # reference flagship op-point: README.md:62 (ddim_cfg++, lambda=0.6)
+        model, solver, res, nfe, reps, batch, w = \
+            "sd15", "ddim_cfg++", 512, 50, 3, 1, 0.6
+        family = "SD-v1.5"
+        dtype = jnp.bfloat16
+    else:
         # batch 1 measured fastest end-to-end on this chip (batch 2: -1%,
         # batch 4: -17% from HBM pressure); keep the throughput metric
         # honest by reporting the best per-chip configuration.
-        model, res, nfe, reps, batch = "sdxl", 1024, 25, 3, 1
+        model, solver, res, nfe, reps, batch, w = \
+            "sdxl", "dpm++_2m_cfgpp", 1024, 25, 3, 1, 5.0
+        family = "SDXL"
         dtype = jnp.bfloat16
-    else:  # CPU smoke fallback so the script always runs
-        model, res, nfe, reps, batch = "tiny_sdxl", 64, 4, 2, 2
-        dtype = jnp.float32
 
     bundle = ModelBundle.random_init(model, dtype=dtype, param_dtype=dtype)
-    engine = DiffusionEngine(bundle, solver="dpm++_2m_cfgpp", nfe=nfe)
+    engine = DiffusionEngine(bundle, solver=solver, nfe=nfe)
 
     prompts = [f"benchmark prompt {i}" for i in range(batch)]
 
     def one(seed):
         # throughput op-point: batched generation, the same shape the
         # sharded MS-COCO engine runs per chip
-        return engine.sample_batch("", prompts, cfg_guidance=5.0,
+        return engine.sample_batch("", prompts, cfg_guidance=w,
                                    seed=seed, resolution=res)
 
     one(0)  # compile + warmup
@@ -59,9 +77,9 @@ def main():
     dt = (time.perf_counter() - t0) / reps
 
     value = batch / dt
-    n_model_steps = nfe - 1  # dpm++_2m_cfgpp runs timesteps[:-1]
+    n_model_steps = nfe - 1 if solver.startswith("dpm++_2m") else nfe
     print(json.dumps({
-        "metric": f"SDXL {res}x{res} {nfe}-NFE dpm++_2m_cfgpp throughput"
+        "metric": f"{family} {res}x{res} {nfe}-NFE {solver} throughput"
                   + ("" if on_tpu else " (CPU smoke, tiny model)"),
         "value": round(value, 4),
         "unit": "images/sec/chip",

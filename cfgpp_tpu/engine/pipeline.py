@@ -316,8 +316,6 @@ class DiffusionEngine:
 
         spec, plan, bundle = self.spec, self.plan, self.bundle
         family = bundle.family
-        params = {"unet": bundle.unet_params, "vae": bundle.vae_params,
-                  "text": bundle.text_params, "text2": bundle.text_params_2}
 
         def embed(params, ids_uc, ids_cs, kwargs):
             if family == "sdxl":
@@ -387,20 +385,26 @@ class DiffusionEngine:
         # Params are ARGUMENTS of the jitted function, never closure
         # captures: closed-over arrays get baked into the executable as
         # constants (gigabytes duplicated in HBM + enormous compile times).
+        # They are also fetched from the bundle at CALL time, so loading new
+        # weights into the bundle takes effect without invalidating runners.
         if unrolled:
             def runner(ids_uc, ids_cs, src_img, k_init, k_noise, k_enc, kwargs,
-                       callback_fn=None, _params=params):
-                return core(_params, ids_uc, ids_cs, src_img, k_init, k_noise,
-                            k_enc, kwargs, callback_fn)
+                       callback_fn=None):
+                return core(self._live_params(), ids_uc, ids_cs, src_img,
+                            k_init, k_noise, k_enc, kwargs, callback_fn)
         else:
             jit_core = jax.jit(core)
 
-            def runner(ids_uc, ids_cs, src_img, k_init, k_noise, k_enc, kwargs,
-                       _params=params):
-                return jit_core(_params, ids_uc, ids_cs, src_img, k_init,
-                                k_noise, k_enc, kwargs)
+            def runner(ids_uc, ids_cs, src_img, k_init, k_noise, k_enc, kwargs):
+                return jit_core(self._live_params(), ids_uc, ids_cs, src_img,
+                                k_init, k_noise, k_enc, kwargs)
         self._cache[cache_key] = runner
         return runner
+
+    def _live_params(self):
+        b = self.bundle
+        return {"unet": b.unet_params, "vae": b.vae_params,
+                "text": b.text_params, "text2": b.text_params_2}
 
     def _replay_callbacks(self, callback_fn, traj):
         """Post-hoc callback replay over the fused trajectory (non-mutating)."""
