@@ -36,11 +36,16 @@ def sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _use_flash(q_len: int, kv_len: int, head_dim: int) -> bool:
+    """Measured on v5e: flash wins for long sequences at ANY head dim
+    (3.2x over XLA at N=4096 d=40, 2x at d=64); short sequences are noise
+    either way and stay on the fusable einsum path."""
     if jax.default_backend() != "tpu":
         return False
-    if head_dim % 64 != 0 and head_dim not in (64, 128):
+    if q_len < FLASH_MIN_Q_LEN or kv_len < FLASH_MIN_KV_LEN:
         return False
-    return q_len >= FLASH_MIN_Q_LEN and kv_len >= FLASH_MIN_KV_LEN
+    from cfgpp_tpu.kernels.flash_attention import DEFAULT_BLOCK_KV, DEFAULT_BLOCK_Q
+    bq, bkv = min(DEFAULT_BLOCK_Q, q_len), min(DEFAULT_BLOCK_KV, kv_len)
+    return q_len % bq == 0 and kv_len % bkv == 0
 
 
 def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

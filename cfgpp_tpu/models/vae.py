@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from cfgpp_tpu.configs import VAEConfig
-from cfgpp_tpu.models.attention import sdpa_xla
+from cfgpp_tpu.models.attention import sdpa
 
 
 class VAEResnetBlock(nn.Module):
@@ -61,7 +61,9 @@ class VAEAttentionBlock(nn.Module):
         q = dense(name="to_q")(x)[:, :, None, :]   # [B, N, 1 head, C]
         k = dense(name="to_k")(x)[:, :, None, :]
         v = dense(name="to_v")(x)[:, :, None, :]
-        out = sdpa_xla(q, k, v).reshape(b, h * w, c)
+        # dispatching attention: at 1024^2 decode this is a 16384-token
+        # sequence — the flash path avoids materializing the NxN scores
+        out = sdpa(q, k, v).reshape(b, h * w, c)
         out = dense(name="to_out")(out)
         return out.reshape(b, h, w, c) + residual
 
