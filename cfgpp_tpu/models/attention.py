@@ -43,6 +43,10 @@ def _use_flash(q_len: int, kv_len: int, head_dim: int) -> bool:
         return False
     if q_len < FLASH_MIN_Q_LEN or kv_len < FLASH_MIN_KV_LEN:
         return False
+    # d=512 (VAE single-head) measured catastrophically slow in the kernel
+    # (~1000x): keep flash to transformer-scale head dims.
+    if head_dim > 160:
+        return False
     from cfgpp_tpu.kernels.flash_attention import DEFAULT_BLOCK_KV, DEFAULT_BLOCK_Q
     bq, bkv = min(DEFAULT_BLOCK_Q, q_len), min(DEFAULT_BLOCK_KV, kv_len)
     return q_len % bq == 0 and kv_len % bkv == 0

@@ -64,6 +64,19 @@ def test_shifted_alpha_table_reproduces_reference_indexing():
     np.testing.assert_allclose(sched.alpha(1 - sched.skip), sched.alphas_cumprod[0], rtol=1e-12)
 
 
+def test_uneven_nfe():
+    """NFE that doesn't divide 1000: leading spacing truncates (1000//30=33)."""
+    ts = leading_timesteps(30)
+    assert len(ts) == 30
+    assert ts[0] == 29 * 33 + 1 == 958 and ts[-1] == 1
+    sched = make_ddim_schedule(30)
+    assert sched.skip == 33
+    # all alpha lookups (incl. t - skip) stay in range or hit the guard
+    for t in ts:
+        sched.alpha(int(t))
+        sched.alpha(int(t) - sched.skip)
+
+
 def test_karras_sigmas():
     sig = get_sigmas_karras(50, 0.0292, 14.6146)
     assert sig.shape == (51,)
