@@ -10,7 +10,7 @@ itself is generic (`cfgpp_tpu.solvers.sampler.run_solver`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 from cfgpp_tpu.schedules.ddim import DDIMSchedule
 from cfgpp_tpu.solvers import plans
