@@ -103,12 +103,17 @@ class DiffusionEngine:
         return embeds, o2.pooled_output
 
     # ------------------------------------------------------------ eps closure
-    def _make_eps_fn(self, unet_params, uc, c, w: float,
+    def _make_eps_fn(self, unet_params, uc, c, w,
                      added_uc: Optional[Tuple] = None,
-                     added_c: Optional[Tuple] = None):
-        """Batched cond/uncond epsilon function for the scan body."""
+                     added_c: Optional[Tuple] = None,
+                     mode: Optional[Tuple[bool, bool]] = None):
+        """Batched cond/uncond epsilon function for the scan body.
+
+        ``w`` may be a traced scalar; only ``mode`` (which branches run) is
+        static, so sweeping guidance scales reuses one compiled graph."""
         unet = self.bundle.unet
-        needs_uc, needs_c = _needs_branches(self.spec.cfgpp, w)
+        needs_uc, needs_c = mode if mode is not None else _needs_branches(
+            self.spec.cfgpp, float(w))
         is_v = self.bundle.config.unet.prediction_type == "v_prediction"
         abar = jnp.asarray(self.schedule.alphas_cumprod, jnp.float32)
 
@@ -195,6 +200,9 @@ class DiffusionEngine:
         NHWC images in [0, 1]."""
         family = self.bundle.family
         res = resolution or self.default_resolution()
+        if self.spec.lightning and float(cfg_guidance) != 1.0:
+            raise ValueError(
+                "CFG should be turned off (cfg_guidance=1) in the lightning version")
         if self.spec.edit:
             null_p, src_p, tgt_p = prompt[0], prompt[1], prompt[2]
             cond_prompts = [src_p, tgt_p]
@@ -230,15 +238,18 @@ class DiffusionEngine:
             src_img = jnp.zeros((batch, 8, 8, 3), jnp.float32)  # placeholder
 
         runner = self._get_runner(
-            w=float(cfg_guidance), batch=batch, res=res,
+            mode=_needs_branches(self.spec.cfgpp, float(cfg_guidance)),
+            batch=batch, res=res,
             n_cond=len(ids_cs), with_traj=callback_fn is not None and not unrolled,
             unrolled=unrolled, clip_skip=clip_skip)
 
+        w_arr = jnp.float32(cfg_guidance)
         if unrolled:
-            img, traj = runner(ids_uc, ids_cs, src_img, k_init, k_noise, k_enc,
-                               kwargs, callback_fn)
+            img, traj = runner(w_arr, ids_uc, ids_cs, src_img, k_init, k_noise,
+                               k_enc, kwargs, callback_fn)
         else:
-            img, traj = runner(ids_uc, ids_cs, src_img, k_init, k_noise, k_enc, kwargs)
+            img, traj = runner(w_arr, ids_uc, ids_cs, src_img, k_init, k_noise,
+                               k_enc, kwargs)
 
         if callback_fn is not None and not unrolled:
             self._replay_callbacks(callback_fn, traj)
@@ -272,6 +283,9 @@ class DiffusionEngine:
         """
         if self.spec.inversion or self.spec.edit:
             raise ValueError("sample_batch supports plain T2I solvers only")
+        if self.spec.lightning and float(cfg_guidance) != 1.0:
+            raise ValueError(
+                "CFG should be turned off (cfg_guidance=1) in the lightning version")
         batch = len(prompts)
         res = resolution or self.default_resolution()
         idx = np.asarray(sample_indices if sample_indices is not None
@@ -299,18 +313,20 @@ class DiffusionEngine:
             sample_keys = shard_batch(sample_keys, mesh)
             kwargs = shard_batch(kwargs, mesh)
 
-        runner = self._get_runner(w=float(cfg_guidance), batch=batch, res=res,
-                                  n_cond=1, with_traj=False, unrolled=False)
+        runner = self._get_runner(
+            mode=_needs_branches(self.spec.cfgpp, float(cfg_guidance)),
+            batch=batch, res=res, n_cond=1, with_traj=False, unrolled=False)
         dummy = jnp.zeros((batch, 8, 8, 3), jnp.float32)
         k_enc = jax.random.PRNGKey(0)
-        img, _ = runner(ids_uc, ids_cs, dummy, sample_keys, sample_keys, k_enc, kwargs)
+        img, _ = runner(jnp.float32(cfg_guidance), ids_uc, ids_cs, dummy,
+                        sample_keys, sample_keys, k_enc, kwargs)
         return np.asarray(img) if as_numpy else img
 
     # ------------------------------------------------------------- internals
-    def _get_runner(self, w: float, batch: int, res: int, n_cond: int,
-                    with_traj: bool, unrolled: bool,
+    def _get_runner(self, mode: Tuple[bool, bool], batch: int, res: int,
+                    n_cond: int, with_traj: bool, unrolled: bool,
                     clip_skip: Optional[int] = None):
-        cache_key = (w, batch, res, n_cond, with_traj, unrolled, clip_skip)
+        cache_key = (mode, batch, res, n_cond, with_traj, unrolled, clip_skip)
         if cache_key in self._cache:
             return self._cache[cache_key]
 
@@ -339,7 +355,7 @@ class DiffusionEngine:
             t_ids = kwargs["time_ids"]
             return (pool_uc, t_ids), (pool_c, t_ids)
 
-        def core(params, ids_uc, ids_cs, src_img, k_init, k_noise, k_enc,
+        def core(params, w, ids_uc, ids_cs, src_img, k_init, k_noise, k_enc,
                  kwargs, callback_fn=None):
             uc, cs, pool_uc, pool_cs = embed(params, ids_uc, ids_cs, kwargs)
             # sampling conditioning: edit solvers invert with src (cs[0]) and
@@ -348,14 +364,14 @@ class DiffusionEngine:
             pool_sample = pool_cs[-1] if pool_cs else None
             added_uc, added_c = added_for(pool_uc, pool_sample, kwargs)
             eps_fn = self._make_eps_fn(params["unet"], uc, c_sample, w,
-                                       added_uc, added_c)
+                                       added_uc, added_c, mode=mode)
 
             if spec.inversion:
                 z0 = self._encode(params["vae"], src_img, k_enc)
                 added_uc_inv, added_c_inv = added_for(
                     pool_uc, pool_cs[0] if pool_cs else None, kwargs)
                 inv_eps = self._make_eps_fn(params["unet"], uc, cs[0], w,
-                                            added_uc_inv, added_c_inv)
+                                            added_uc_inv, added_c_inv, mode=mode)
                 zT = run_inversion(spec, self.inv_plan, inv_eps, z0, w)
             elif k_init.ndim == 2:
                 # per-sample keys [B,2]: batched/sharded generation
@@ -388,15 +404,15 @@ class DiffusionEngine:
         # They are also fetched from the bundle at CALL time, so loading new
         # weights into the bundle takes effect without invalidating runners.
         if unrolled:
-            def runner(ids_uc, ids_cs, src_img, k_init, k_noise, k_enc, kwargs,
-                       callback_fn=None):
-                return core(self._live_params(), ids_uc, ids_cs, src_img,
+            def runner(w, ids_uc, ids_cs, src_img, k_init, k_noise, k_enc,
+                       kwargs, callback_fn=None):
+                return core(self._live_params(), w, ids_uc, ids_cs, src_img,
                             k_init, k_noise, k_enc, kwargs, callback_fn)
         else:
             jit_core = jax.jit(core)
 
-            def runner(ids_uc, ids_cs, src_img, k_init, k_noise, k_enc, kwargs):
-                return jit_core(self._live_params(), ids_uc, ids_cs, src_img,
+            def runner(w, ids_uc, ids_cs, src_img, k_init, k_noise, k_enc, kwargs):
+                return jit_core(self._live_params(), w, ids_uc, ids_cs, src_img,
                                 k_init, k_noise, k_enc, kwargs)
         self._cache[cache_key] = runner
         return runner

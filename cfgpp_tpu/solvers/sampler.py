@@ -103,7 +103,11 @@ def _make_body(spec: SolverSpec, plan: SolverPlan, eps_fn, w, noise_key):
 
 
 def _check_guidance(spec: SolverSpec, plan: SolverPlan, cfg_guidance, noise_key):
-    if spec.lightning and cfg_guidance != 1.0:
+    # cfg_guidance may be a traced scalar (one compiled graph serves all
+    # guidance scales); the lightning w==1 assert then happens at the host
+    # boundary where the value is concrete.
+    concrete = isinstance(cfg_guidance, (int, float))
+    if spec.lightning and concrete and cfg_guidance != 1.0:
         raise ValueError("CFG should be turned off (cfg_guidance=1) in the lightning version")
     if plan.needs_noise and noise_key is None:
         raise ValueError(f"solver {spec.name} is ancestral and needs a noise key")
