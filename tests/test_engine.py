@@ -45,6 +45,19 @@ def test_sd_all_solver_kinds(sd_bundle, solver):
     assert np.isfinite(img).all()
 
 
+def test_guidance_sweep_reuses_runner(sd_bundle):
+    """w is traced: different guidance scales share one compiled runner;
+    only degenerate-branch modes (w=0, w=1-CFG) add cache entries."""
+    eng = DiffusionEngine(sd_bundle, solver="ddim_cfg++", nfe=2)
+    a = eng.sample(["", "x"], cfg_guidance=3.0, seed=0, resolution=16)
+    n1 = len(eng._cache)
+    b = eng.sample(["", "x"], cfg_guidance=9.9, seed=0, resolution=16)
+    assert len(eng._cache) == n1          # no new runner for a new w
+    assert not np.array_equal(a, b)       # but w still takes effect
+    eng.sample(["", "x"], cfg_guidance=0.0, seed=0, resolution=16)
+    assert len(eng._cache) == n1 + 1      # degenerate mode is a new graph
+
+
 def test_sd_guidance_degenerate_paths(sd_bundle):
     eng = DiffusionEngine(sd_bundle, solver="ddim", nfe=3)
     for w in (0.0, 1.0, 7.5):
