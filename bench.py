@@ -21,9 +21,10 @@ import time
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--op_point", type=str, default="sdxl",
-                        choices=("sdxl", "sd15"),
+                        choices=("sdxl", "sd15", "sdxl_lightning"),
                         help="sdxl: 1024^2 25-NFE dpm++_2m_cfgpp (headline); "
-                             "sd15: 512^2 50-NFE ddim_cfg++ lambda=0.6")
+                             "sd15: 512^2 50-NFE ddim_cfg++ lambda=0.6; "
+                             "sdxl_lightning: 4-NFE ddim_cfg++_lightning w=1")
     args = parser.parse_args()
 
     import jax
@@ -49,6 +50,13 @@ def main():
             "sd15", "ddim_cfg++", 512, 50, 3, 1, 0.6
         family = "SD-v1.5"
         dtype = jnp.bfloat16
+    elif args.op_point == "sdxl_lightning":
+        # reference published Lightning config (README.md:70-74), random-init
+        # weights at the distilled UNet's architecture
+        model, solver, res, nfe, reps, batch, w = \
+            "sdxl_lightning", "ddim_cfg++_lightning", 1024, 4, 5, 1, 1.0
+        family = "SDXL-Lightning"
+        dtype = jnp.bfloat16
     else:
         # batch 1 measured fastest end-to-end on this chip (batch 2: -1%,
         # batch 4: -17% from HBM pressure); keep the throughput metric
@@ -67,7 +75,7 @@ def main():
         # throughput op-point: batched generation, the same shape the
         # sharded MS-COCO engine runs per chip
         return engine.sample_batch("", prompts, cfg_guidance=w,
-                                   seed=seed, resolution=res)
+                                   seed=seed, resolution=res, to_uint8=True)
 
     one(0)  # compile + warmup
     t0 = time.perf_counter()

@@ -104,6 +104,7 @@ def main(argv=None):
                 sample_indices=run_indices,
                 mesh=mesh,
                 as_numpy=False,
+                to_uint8=True,
             )
             done += flush_pending(pending)   # overlaps with device compute
             pending = (dev_imgs[: len(chunk)], paths)

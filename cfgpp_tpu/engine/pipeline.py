@@ -270,6 +270,7 @@ class DiffusionEngine:
         crops_coords_top_left: Tuple[int, int] = (0, 0),
         target_size: Optional[Tuple[int, int]] = None,
         as_numpy: bool = True,
+        to_uint8: bool = False,
     ) -> np.ndarray:
         """Batched T2I: one fused run over B prompts, optionally sharded
         data-parallel over a device mesh (the TPU replacement for the
@@ -280,6 +281,8 @@ class DiffusionEngine:
         ``as_numpy=False`` returns the device array WITHOUT blocking, so a
         caller can dispatch the next batch before pulling this one to host
         (the MS-COCO loop overlaps device compute with host image IO).
+        ``to_uint8`` converts to uint8 ON DEVICE: 4x less host transfer
+        (the PNG writer wants uint8 anyway).
         """
         if self.spec.inversion or self.spec.edit:
             raise ValueError("sample_batch supports plain T2I solvers only")
@@ -320,6 +323,8 @@ class DiffusionEngine:
         k_enc = jax.random.PRNGKey(0)
         img, _ = runner(jnp.float32(cfg_guidance), ids_uc, ids_cs, dummy,
                         sample_keys, sample_keys, k_enc, kwargs)
+        if to_uint8:
+            img = self._to_uint8(img)
         return np.asarray(img) if as_numpy else img
 
     # ------------------------------------------------------------- internals
@@ -416,6 +421,12 @@ class DiffusionEngine:
                                 k_init, k_noise, k_enc, kwargs)
         self._cache[cache_key] = runner
         return runner
+
+    def _to_uint8(self, img):
+        if not hasattr(self, "_u8_fn"):
+            self._u8_fn = jax.jit(
+                lambda x: (x * 255.0 + 0.5).astype(jnp.uint8))
+        return self._u8_fn(img)
 
     def _live_params(self):
         b = self.bundle
