@@ -41,6 +41,19 @@ def add_common_args(parser: argparse.ArgumentParser, default_method: str = "ddim
     parser.add_argument("--resolution", type=int, default=None)
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=("bfloat16", "float32"))
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of the run into "
+                             "this directory (view with xprof/TensorBoard)")
+
+
+def maybe_profile(args):
+    """Context manager: jax.profiler trace when --profile_dir is set."""
+    import contextlib
+
+    if getattr(args, "profile_dir", None):
+        from cfgpp_tpu.utils.profiling import trace
+        return trace(args.profile_dir)
+    return contextlib.nullcontext()
 
 
 def build_engine(args, nfe: Optional[int] = None) -> DiffusionEngine:

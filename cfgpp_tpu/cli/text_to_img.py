@@ -15,7 +15,7 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-from cfgpp_tpu.cli.common import add_common_args, build_engine
+from cfgpp_tpu.cli.common import add_common_args, build_engine, maybe_profile
 from cfgpp_tpu.engine.callbacks import ComposeCallback
 from cfgpp_tpu.utils import create_workdir, save_image
 
@@ -45,15 +45,16 @@ def main(argv=None):
     if args.prompt_2 is not None or args.null_prompt_2 is not None:
         prompt_2 = [args.null_prompt_2 or args.null_prompt,
                     args.prompt_2 if args.prompt_2 is not None else args.prompt]
-    result = engine.sample(
-        prompt=[args.null_prompt, args.prompt],
-        prompt_2=prompt_2,
-        cfg_guidance=args.cfg_guidance,
-        seed=args.seed,
-        resolution=args.resolution,
-        callback_fn=callback,
-        clip_skip=args.clip_skip,
-    )
+    with maybe_profile(args):
+        result = engine.sample(
+            prompt=[args.null_prompt, args.prompt],
+            prompt_2=prompt_2,
+            cfg_guidance=args.cfg_guidance,
+            seed=args.seed,
+            resolution=args.resolution,
+            callback_fn=callback,
+            clip_skip=args.clip_skip,
+        )
     out = workdir / "result" / "generated.png"
     save_image(result, out, normalize_img=True)
     print(f"saved {out}")
