@@ -164,6 +164,16 @@ def test_v_prediction_conversion(sd_bundle):
     np.testing.assert_allclose(np.asarray(eps_uc), want, atol=1e-5)
 
 
+@pytest.mark.parametrize("solver", ["euler_lightning", "euler_cfg++_lightning",
+                                    "dpm++_2m_cfgpp_lightning"])
+def test_sdxl_lightning_variants(sdxl_bundle, solver):
+    """All Lightning solvers: trailing spacing [999,749,499,249], w=1."""
+    eng = DiffusionEngine(sdxl_bundle, solver=solver, nfe=4)
+    np.testing.assert_array_equal(eng.schedule.timesteps, [999, 749, 499, 249])
+    img = eng.sample(["", "a cat"], cfg_guidance=1.0, seed=0, resolution=16)
+    assert np.isfinite(img).all()
+
+
 def test_callbacks_fused_replay(sd_bundle, tmp_path):
     eng = DiffusionEngine(sd_bundle, solver="ddim_cfg++", nfe=3)
     cb = ComposeCallback(workdir=tmp_path, callbacks=["draw_tweedie", "draw_noisy"],
