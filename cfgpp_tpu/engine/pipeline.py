@@ -194,6 +194,8 @@ class DiffusionEngine:
         crops_coords_top_left: Tuple[int, int] = (0, 0),
         target_size: Optional[Tuple[int, int]] = None,
         clip_skip: Optional[int] = None,
+        init_latent_override: Optional[jnp.ndarray] = None,
+        return_trajectory: bool = False,
     ) -> np.ndarray:
         """Generate images.  ``prompt`` is [null, cond] (or [null, src, tgt]
         for edit solvers), mirroring the reference CLIs.  Returns float32
@@ -230,6 +232,10 @@ class DiffusionEngine:
                 self.make_add_time_ids(batch, osz, crops_coords_top_left, tsz))
 
         zshape = self.latent_shape(batch, res)
+        if init_latent_override is not None:
+            # cross-framework parity harness: inject the exact zT a reference
+            # implementation drew, bypassing jax.random
+            kwargs["zT_override"] = jnp.asarray(init_latent_override, jnp.float32)
         if self.spec.inversion:
             if src_img is None:
                 raise ValueError(f"solver {self.solver_name} needs src_img")
@@ -237,10 +243,11 @@ class DiffusionEngine:
         else:
             src_img = jnp.zeros((batch, 8, 8, 3), jnp.float32)  # placeholder
 
+        with_traj = (callback_fn is not None or return_trajectory) and not unrolled
         runner = self._get_runner(
             mode=_needs_branches(self.spec.cfgpp, float(cfg_guidance)),
             batch=batch, res=res,
-            n_cond=len(ids_cs), with_traj=callback_fn is not None and not unrolled,
+            n_cond=len(ids_cs), with_traj=with_traj,
             unrolled=unrolled, clip_skip=clip_skip)
 
         w_arr = jnp.float32(cfg_guidance)
@@ -253,6 +260,8 @@ class DiffusionEngine:
 
         if callback_fn is not None and not unrolled:
             self._replay_callbacks(callback_fn, traj)
+        if return_trajectory:
+            return np.asarray(img), jax.tree.map(np.asarray, traj)
         return np.asarray(img)
 
     def sample_batch(
@@ -378,6 +387,8 @@ class DiffusionEngine:
                 inv_eps = self._make_eps_fn(params["unet"], uc, cs[0], w,
                                             added_uc_inv, added_c_inv, mode=mode)
                 zT = run_inversion(spec, self.inv_plan, inv_eps, z0, w)
+            elif "zT_override" in kwargs:
+                zT = kwargs["zT_override"]
             elif k_init.ndim == 2:
                 # per-sample keys [B,2]: batched/sharded generation
                 init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(k_init)

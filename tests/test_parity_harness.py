@@ -1,0 +1,54 @@
+"""Parity-harness plumbing tests (self-consistency: a trajectory dumped from
+our own engine must PASS the harness comparison at MAE ~ 0)."""
+
+import numpy as np
+import pytest
+
+from cfgpp_tpu.cli.parity_check import compare_trajectories
+from cfgpp_tpu.engine import DiffusionEngine, ModelBundle
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def engine():
+    b = ModelBundle.random_init("tiny_sd", dtype=jnp.float32, param_dtype=jnp.float32)
+    return DiffusionEngine(b, solver="ddim_cfg++", nfe=3)
+
+
+def test_injected_latent_and_trajectory(engine):
+    zT = np.random.RandomState(0).randn(1, 8, 8, 4).astype(np.float32)
+    img, (z0s, zts) = engine.sample(["", "x"], cfg_guidance=0.6, resolution=16,
+                                    init_latent_override=zT, return_trajectory=True)
+    assert z0s.shape == (3, 1, 8, 8, 4)
+    # same injected zT -> identical run (no RNG anywhere in the ddim path)
+    img2, (z0s2, _) = engine.sample(["", "x"], cfg_guidance=0.6, resolution=16,
+                                    init_latent_override=zT, return_trajectory=True)
+    np.testing.assert_array_equal(z0s, z0s2)
+    # a different zT -> different trajectory
+    _, (z0s3, _) = engine.sample(["", "x"], cfg_guidance=0.6, resolution=16,
+                                 init_latent_override=zT * 1.1,
+                                 return_trajectory=True)
+    assert not np.array_equal(z0s, z0s3)
+
+
+def test_self_consistency_parity(engine):
+    """Our own dump compared against a re-run must pass at tolerance ~0."""
+    zT = np.random.RandomState(1).randn(1, 8, 8, 4).astype(np.float32)
+    _, (z0s, zts) = engine.sample(["", "cat"], cfg_guidance=0.6, resolution=16,
+                                  init_latent_override=zT, return_trajectory=True)
+    _, (z0b, ztb) = engine.sample(["", "cat"], cfg_guidance=0.6, resolution=16,
+                                  init_latent_override=zT, return_trajectory=True)
+    rows, worst = compare_trajectories(z0s, zts, z0b, ztb)
+    assert len(rows) == 3
+    assert worst == 0.0
+
+
+def test_compare_trajectories_detects_divergence():
+    a = np.zeros((2, 1, 4, 4, 4))
+    b = np.zeros((2, 1, 4, 4, 4))
+    b[1] += 0.5
+    rows, worst = compare_trajectories(a, a, b, b)
+    assert rows[0]["mae_z0t"] == 0.0
+    assert rows[1]["mae_z0t"] == pytest.approx(0.5)
+    assert worst == pytest.approx(0.5)
