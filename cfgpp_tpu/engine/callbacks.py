@@ -17,22 +17,31 @@ from pathlib import Path
 
 from cfgpp_tpu.utils.img import save_image
 
-__CALLBACK__ = {}
+_CALLBACK_REGISTRY: dict[str, type] = {}
 
 
 def register_callback(name):
     def wrapper(cls):
-        if __CALLBACK__.get(name) is not None:
-            raise NameError(f"Callback {name} is already registered")
-        __CALLBACK__[name] = cls
+        if name in _CALLBACK_REGISTRY:
+            raise KeyError(
+                f"duplicate callback name {name!r} "
+                f"(taken by {_CALLBACK_REGISTRY[name].__name__})")
+        _CALLBACK_REGISTRY[name] = cls
         return cls
     return wrapper
 
 
 def get_callback(name, **kwargs):
-    if __CALLBACK__.get(name) is None:
-        raise NameError(f"Callback {name} is not registered")
-    return __CALLBACK__[name](**kwargs)
+    try:
+        cls = _CALLBACK_REGISTRY[name]
+    except KeyError:
+        known = ", ".join(sorted(_CALLBACK_REGISTRY))
+        raise KeyError(f"unknown callback {name!r}; available: {known}") from None
+    return cls(**kwargs)
+
+
+def available_callbacks() -> list[str]:
+    return sorted(_CALLBACK_REGISTRY)
 
 
 class DiffusionCallback:
