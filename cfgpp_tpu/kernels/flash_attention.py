@@ -1,17 +1,35 @@
-"""Pallas TPU flash attention (non-causal, no mask).
+"""Pallas TPU flash attention (non-causal), head-packed native layout.
 
-Blockwise softmax-attention with O(N) memory: the only custom-kernel surface
-this workload needs (SURVEY.md §2.4).  Replaces PyTorch SDPA /
-AttnProcessor2_0 inside the reference's diffusers UNet (`latent_sdxl.py:7-10`).
+Blockwise softmax-attention with O(N) memory: the custom-kernel surface of
+this workload (SURVEY.md §2.4), replacing PyTorch SDPA / AttnProcessor2_0
+inside the reference's diffusers UNet (`latent_sdxl.py:7-10`).
 
-Targets UNet self-attention: SDXL at 1024^2 runs 4096- and 1024-token
-sequences with head_dim 64 — MXU-friendly tiles.  Cross-attention (kv=77)
-and SD-1.5's odd head dims (40/80/160) stay on the XLA einsum path, chosen
-by `cfgpp_tpu.models.attention.sdpa`; measure, don't assume (SURVEY.md §7).
+Design notes (all measured on TPU v5e):
 
-Layout: q,k,v [B, N, H, D] -> kernel runs on [B*H, N, D] with a
-(batch*heads, q_blocks, kv_blocks) grid; kv is the innermost (sequential)
-dimension so the running max/sum/acc scratch carries across kv steps.
+* **Native [B, N, H*D] layout.**  The q/k/v projections produce
+  token-major ``[B, N, H*D]`` activations; transposing to the classic
+  ``[B*H, N, D]`` kernel layout costs 4 full HBM round-trips per attention
+  site (~5 ms/step across SDXL's 70 sites).  Instead the kernel blocks the
+  *channel* dimension: each grid step covers ``hpb`` heads (128 lanes for
+  D=64) and loops them in VMEM, so qkv/out never leave token-major layout
+  and XLA elides every transpose.
+* **Pre-scaled q in log2 space.**  ``q * (D^-1/2 * log2(e))`` is applied
+  outside the kernel (it fuses into the projection epilogue) and softmax
+  runs on ``exp2``: both remove full [bq, bkv] f32 VPU passes.  The kernel
+  is VPU-bound, not MXU-bound — at D=64 the MXU tops out at ~98 TF/s
+  (contraction depth 64 = half the 128-wide systolic array), and cutting
+  VPU work moved N=4096 from 72 to 82.5 TF/s.
+* **Single-pass specialization.**  When the whole kv sequence fits one
+  block there is no running max/sum to carry: a dedicated kernel skips the
+  scratch init, alpha rescale and accumulator read-modify-write
+  (N=1024: 161 -> 132 us).
+* **Masked kv padding.**  kv is padded to the lane tile and masked with an
+  iota compare, which admits cross-attention (kv=77) and any ragged N —
+  the einsum path's f32 [B,H,N,77] logits (plus their HBM traffic)
+  disappear into the kernel.
+
+Reference hot-path: `latent_diffusion.py:152-155` (the batch-2 UNet call
+whose attention layers this kernel serves).
 """
 
 from __future__ import annotations
@@ -23,100 +41,204 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Measured on TPU v5e (D=64): 1024/1024 blocks + exp2 softmax reach ~77 TF/s
-# at N=4096 (vs ~44 at 512/512 with exp) and ~172 TF/s at N=1024
-# (single-block); 2048/2048 exceeds the 16MB scoped-vmem limit.
-DEFAULT_BLOCK_Q = 1024
-DEFAULT_BLOCK_KV = 1024
 NEG_INF = -1e30
 LOG2E = 1.4426950408889634
+# VMEM budget for block-size selection (bytes); v5e has 16MB of VMEM but
+# Pallas double-buffers HBM blocks, so leave generous headroom.
+_VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch, *, scale):
+def _cdiv(a: int, b: int) -> int:
+    return (a + b - 1) // b
+
+
+def _kernel_single(q_ref, k_ref, v_ref, o_ref, *, kv_len, bkv, d, hpb):
+    """One kv block covers the whole sequence: plain (not running) softmax."""
+    for j in range(hpb):
+        q = q_ref[0, :, j * d:(j + 1) * d]
+        k = k_ref[0, :, j * d:(j + 1) * d]
+        v = v_ref[0, :, j * d:(j + 1) * d]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if kv_len % bkv:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m).astype(v.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        o_ref[0, :, j * d:(j + 1) * d] = (pv / l).astype(o_ref.dtype)
+
+
+def _kernel_multi(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s,
+                  *, kv_len, bkv, d, hpb):
+    """Streaming kv blocks with the classic running-softmax carry."""
     kv_idx = pl.program_id(2)
     num_kv = pl.num_programs(2)
 
     @pl.when(kv_idx == 0)
     def _init():
-        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
-        l_scratch[:] = jnp.zeros_like(l_scratch)
-        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
 
-    q = q_ref[0]                       # [bq, d]
-    k = k_ref[0]                       # [bkv, d]
-    v = v_ref[0]
-
-    # Work in log2 space: exp2 is markedly cheaper than exp on the VPU
-    # (~1.7x whole-kernel speedup at N=1024); fold log2(e) into the scale.
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (scale * LOG2E)                # [bq, bkv] f32, log2-scaled
-
-    m_prev = m_scratch[:]              # [bq, 128] (broadcast lanes)
-    m_cur = jnp.max(s, axis=1, keepdims=True)          # [bq, 1]
-    m_next = jnp.maximum(m_prev, m_cur)                # [bq, 128]
-
-    p = jnp.exp2(s - m_next[:, :1])                    # [bq, bkv]
-    alpha = jnp.exp2(m_prev[:, :1] - m_next[:, :1])    # [bq, 1]
-
-    l_scratch[:] = l_scratch[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    m_scratch[:] = m_next
-
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_scratch[:] = acc_scratch[:] * alpha + pv
+    for j in range(hpb):
+        q = q_ref[0, :, j * d:(j + 1) * d]
+        k = k_ref[0, :, j * d:(j + 1) * d]
+        v = v_ref[0, :, j * d:(j + 1) * d]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if kv_len % bkv:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * bkv
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        m_prev = m_s[:, j * 8:j * 8 + 1]                     # [bq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp2(s - m_next)
+        alpha = jnp.exp2(m_prev - m_next)
+        l_prev = l_s[:, j * 8:(j + 1) * 8]
+        l_s[:, j * 8:(j + 1) * 8] = l_prev * alpha + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_prev.shape)
+        m_s[:, j * 8:(j + 1) * 8] = jnp.broadcast_to(
+            m_next, (m_next.shape[0], 8))
+        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_s[:, j * d:(j + 1) * d] = acc_s[:, j * d:(j + 1) * d] * alpha + pv
 
     @pl.when(kv_idx == num_kv - 1)
-    def _finalize():
-        o_ref[0] = (acc_scratch[:] / l_scratch[:, :1]).astype(o_ref.dtype)
+    def _fin():
+        for j in range(hpb):
+            o_ref[0, :, j * d:(j + 1) * d] = (
+                acc_s[:, j * d:(j + 1) * d] / l_s[:, j * 8:j * 8 + 1]
+            ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_kv", "interpret"))
+def heads_per_block(num_heads: int, d: int, hd: int) -> int:
+    """How many heads one grid step covers.  The channel block must be a
+    multiple of 128 lanes or span the full channel dim (Mosaic tiling rule)."""
+    if d % 128 == 0:
+        return 1
+    if 128 % d == 0:
+        hpb = 128 // d
+        if num_heads % hpb == 0:
+            return hpb
+    return num_heads  # full channel row (block dim == array dim is allowed)
+
+
+def _pick_blocks(nq: int, nkv_pad: int, d: int, hpb: int):
+    """(block_q, block_kv, single_pass) under the VMEM budget."""
+    ld = hpb * d
+
+    def vmem(bq, bkv):
+        blocks = (bq * ld + 2 * bkv * ld + bq * ld) * 2 * 2  # dbl-buffered bf16
+        s = bq * bkv * 4
+        acc = bq * ld * 4 + bq * 8 * hpb * 8
+        return blocks + s + acc
+
+    if nkv_pad <= 4096:  # single pass: whole kv in one block
+        bq = min(nq, 1024)
+        while bq > 256 and vmem(bq, nkv_pad) > _VMEM_BUDGET:
+            bq //= 2
+        if vmem(bq, nkv_pad) <= _VMEM_BUDGET:
+            return bq, nkv_pad, True
+    bq, bkv = min(nq, 512), min(nkv_pad, 1024)
+    while bkv > 128 and vmem(bq, bkv) > _VMEM_BUDGET:
+        bkv //= 2
+    while bq > 128 and vmem(bq, bkv) > _VMEM_BUDGET:
+        bq //= 2
+    return bq, bkv, False
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "block_q", "block_kv", "interpret"))
+def flash_attention_hd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    block_q: int | None = None,
+    block_kv: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q: [B, Nq, H*D], k/v: [B, Nkv, H*D] -> [B, Nq, H*D].  Non-causal."""
+    b, nq, hd = q.shape
+    nkv = k.shape[1]
+    d = hd // num_heads
+    if hd % num_heads:
+        raise ValueError(f"channel dim {hd} not divisible by {num_heads} heads")
+    hpb = heads_per_block(num_heads, d, hd)
+    ld = hpb * d
+
+    # fold the softmax scale and the exp->exp2 base change into q; this is a
+    # cheap elementwise op that XLA fuses into the producing matmul
+    q = q * jnp.asarray(d ** -0.5 * LOG2E, q.dtype)
+
+    nkv_pad = _cdiv(nkv, 128) * 128
+    auto_bq, auto_bkv, single = _pick_blocks(nq, nkv_pad, d, hpb)
+    bq = block_q or auto_bq
+    bkv = block_kv or auto_bkv
+    single = nkv_pad == bkv
+
+    nq_pad = _cdiv(nq, bq) * bq
+    nkv_pad = _cdiv(nkv_pad, bkv) * bkv
+    if nq_pad != nq:
+        q = jnp.pad(q, [(0, 0), (0, nq_pad - nq), (0, 0)])
+    if nkv_pad != nkv:
+        k = jnp.pad(k, [(0, 0), (0, nkv_pad - nkv), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, nkv_pad - nkv), (0, 0)])
+
+    nh = num_heads // hpb
+    grid = (b * nh, nq_pad // bq, nkv_pad // bkv)
+    in_specs = [
+        pl.BlockSpec((1, bq, ld), lambda g, iq, ik, n=nh: (g // n, iq, g % n)),
+        pl.BlockSpec((1, bkv, ld), lambda g, iq, ik, n=nh: (g // n, ik, g % n)),
+        pl.BlockSpec((1, bkv, ld), lambda g, iq, ik, n=nh: (g // n, ik, g % n)),
+    ]
+    out_spec = pl.BlockSpec((1, bq, ld), lambda g, iq, ik, n=nh: (g // n, iq, g % n))
+    common = dict(
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )
+    if single:
+        kern = functools.partial(_kernel_single, kv_len=nkv, bkv=bkv, d=d, hpb=hpb)
+        out = pl.pallas_call(kern, **common)(q, k, v)
+    else:
+        kern = functools.partial(_kernel_multi, kv_len=nkv, bkv=bkv, d=d, hpb=hpb)
+        out = pl.pallas_call(
+            kern, **common,
+            scratch_shapes=[
+                pltpu.VMEM((bq, 8 * hpb), jnp.float32),   # running max
+                pltpu.VMEM((bq, 8 * hpb), jnp.float32),   # running sum
+                pltpu.VMEM((bq, ld), jnp.float32),        # output accumulator
+            ])(q, k, v)
+    if nq_pad != nq:
+        out = out[:, :nq]
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_kv", "interpret"))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_kv: int = DEFAULT_BLOCK_KV,
+    block_q: int | None = None,
+    block_kv: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """q,k,v: [B, N, H, D] -> [B, N, H, D].  Non-causal, unmasked."""
-    b, n_q, h, d = q.shape
-    n_kv = k.shape[1]
-    scale = d ** -0.5
-
-    block_q = min(block_q, n_q)
-    block_kv = min(block_kv, n_kv)
-    if n_q % block_q or n_kv % block_kv:
-        raise ValueError(f"seq lens ({n_q},{n_kv}) must tile by ({block_q},{block_kv})")
-
-    def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
-
-    qh, kh, vh = to_bh(q), to_bh(k), to_bh(v)
-
-    grid = (b * h, n_q // block_q, n_kv // block_kv)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda bh, iq, ik: (bh, ik, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda bh, iq, ik: (bh, ik, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_q, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),   # running max (lane-padded)
-            pltpu.VMEM((block_q, 128), jnp.float32),   # running sum
-            pltpu.VMEM((block_q, d), jnp.float32),     # output accumulator
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(qh, kh, vh)
-
-    return out.reshape(b, h, n_q, d).transpose(0, 2, 1, 3)
+    """Head-split compatibility API: q,k,v [B, N, H, D] -> [B, N, H, D].
+    The [B,N,H,D] -> [B,N,H*D] reshape is free (contiguous)."""
+    b, nq, h, d = q.shape
+    nkv = k.shape[1]
+    out = flash_attention_hd(
+        q.reshape(b, nq, h * d), k.reshape(b, nkv, h * d),
+        v.reshape(b, nkv, h * d), h,
+        block_q=block_q, block_kv=block_kv, interpret=interpret)
+    return out.reshape(b, nq, h, d)

@@ -16,11 +16,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-# Sequence-length threshold above which the Pallas flash kernel wins over the
-# XLA einsum path (materializing the NxN score matrix).  Cross-attention with
-# kv=77 always stays on the einsum path.
+# Minimum q length for the Pallas flash kernel: below this the einsum path's
+# score matrix is small enough that XLA's fusions are competitive and the
+# kernel's fixed cost dominates.
 FLASH_MIN_Q_LEN = 1024
-FLASH_MIN_KV_LEN = 512
 
 
 def sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -36,20 +35,15 @@ def sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _use_flash(q_len: int, kv_len: int, head_dim: int) -> bool:
-    """Measured on v5e: flash wins for long sequences at ANY head dim
-    (3.2x over XLA at N=4096 d=40, 2x at d=64); short sequences are noise
-    either way and stay on the fusable einsum path."""
+    """Measured on v5e: flash wins for q_len >= 1024 at every head dim in
+    the model zoo (40/64/80/160 UNet heads, 512 single-head VAE), for both
+    long-kv self-attention and kv=77 cross-attention (the kernel masks
+    padded kv lanes).  Short sequences stay on the fusable einsum path."""
     if jax.default_backend() != "tpu":
         return False
-    if q_len < FLASH_MIN_Q_LEN or kv_len < FLASH_MIN_KV_LEN:
+    if q_len < FLASH_MIN_Q_LEN:
         return False
-    # d=512 (VAE single-head) measured catastrophically slow in the kernel
-    # (~1000x): keep flash to transformer-scale head dims.
-    if head_dim > 160:
-        return False
-    from cfgpp_tpu.kernels.flash_attention import DEFAULT_BLOCK_KV, DEFAULT_BLOCK_Q
-    bq, bkv = min(DEFAULT_BLOCK_Q, q_len), min(DEFAULT_BLOCK_KV, kv_len)
-    return q_len % bq == 0 and kv_len % bkv == 0
+    return head_dim % 8 == 0
 
 
 def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -63,6 +57,30 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         from cfgpp_tpu.kernels.flash_attention import flash_attention
         return flash_attention(q, k, v)
     return sdpa_xla(q, k, v, mask)
+
+
+def attention_hd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                 num_heads: int,
+                 mask: Optional[jnp.ndarray] = None,
+                 force_impl: Optional[str] = None) -> jnp.ndarray:
+    """Attention on token-major [B, N, H*D] activations (projection layout).
+
+    The flash path consumes this layout natively — no [B,N,H,D] head split,
+    no N<->H transposes (which cost 4 HBM round-trips per site on the old
+    kernel path).  The einsum fallback reshapes (free) and head-splits.
+    """
+    d = q.shape[-1] // num_heads
+    impl = force_impl
+    if impl is None:
+        impl = "flash" if (mask is None and _use_flash(q.shape[1], k.shape[1], d)) else "xla"
+    if impl == "flash":
+        from cfgpp_tpu.kernels.flash_attention import flash_attention_hd
+        return flash_attention_hd(q, k, v, num_heads)
+    b, n, hd = q.shape
+    m = k.shape[1]
+    out = sdpa_xla(q.reshape(b, n, num_heads, d), k.reshape(b, m, num_heads, d),
+                   v.reshape(b, m, num_heads, d), mask)
+    return out.reshape(b, n, hd)
 
 
 class Attention(nn.Module):
@@ -88,14 +106,9 @@ class Attention(nn.Module):
         k = dense(inner, use_bias=False, name="to_k")(ctx)
         v = dense(inner, use_bias=False, name="to_v")(ctx)
 
-        b, n, _ = q.shape
-        m = k.shape[1]
-        q = q.reshape(b, n, self.num_heads, self.head_dim)
-        k = k.reshape(b, m, self.num_heads, self.head_dim)
-        v = v.reshape(b, m, self.num_heads, self.head_dim)
-
-        out = sdpa(q, k, v, mask=mask)
-        out = out.reshape(b, n, inner)
+        # token-major all the way: the flash kernel blocks heads on the
+        # channel dim, so no [B,N,H,D] split / transpose is materialized
+        out = attention_hd(q, k, v, self.num_heads, mask=mask)
         return dense(self.out_dim, use_bias=True, name="to_out")(out)
 
 

@@ -1,8 +1,9 @@
 """Pallas flash-attention kernel tests (interpreter mode on CPU).
 
 The kernel itself is exercised on real TPU by bench.py; here we verify the
-blockwise-softmax math against the XLA einsum reference across shapes and
-block configurations.
+blockwise-softmax math against the XLA einsum reference across shapes,
+head-packing modes, block configurations, and the masked-kv padding path
+(cross-attention kv=77, ragged q).
 """
 
 import jax
@@ -11,7 +12,8 @@ import numpy as np
 import pytest
 
 from cfgpp_tpu.kernels import flash_attention
-from cfgpp_tpu.models.attention import sdpa, sdpa_xla
+from cfgpp_tpu.kernels.flash_attention import flash_attention_hd, heads_per_block
+from cfgpp_tpu.models.attention import attention_hd, sdpa_xla
 
 
 def rand_qkv(key, b, nq, nkv, h, d, dtype=jnp.float32):
@@ -22,16 +24,38 @@ def rand_qkv(key, b, nq, nkv, h, d, dtype=jnp.float32):
 
 
 @pytest.mark.parametrize("nq,nkv,bq,bkv", [
-    (512, 512, 512, 512),     # single block
+    (512, 512, 512, 512),     # single block, packed heads (d=64 -> hpb=2)
     (1024, 1024, 256, 256),   # multi-block both dims
     (1024, 256, 256, 256),    # rectangular (q longer)
     (256, 1024, 256, 512),    # rectangular (kv longer)
+    (1024, 1024, None, None), # auto block selection (single-pass path)
 ])
 def test_flash_matches_xla(nq, nkv, bq, bkv):
     q, k, v = rand_qkv(0, 2, nq, nkv, 4, 64)
     out = flash_attention(q, k, v, block_q=bq, block_kv=bkv, interpret=True)
     ref = sdpa_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("h,d", [
+    (8, 40),    # SD-1.5 level-0: full-channel-row packing (320 lanes)
+    (8, 80),    # SD-1.5 level-1
+    (1, 512),   # VAE single-head
+    (20, 64),   # SDXL level-2: two heads per 128-lane block
+])
+def test_flash_head_packing_modes(h, d):
+    q, k, v = rand_qkv(7, 1, 256, 256, h, d)
+    out = flash_attention(q, k, v, interpret=True)
+    ref = sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_heads_per_block_rules():
+    assert heads_per_block(20, 64, 1280) == 2    # 128-lane pair
+    assert heads_per_block(10, 64, 640) == 2
+    assert heads_per_block(1, 512, 512) == 1     # d already lane-aligned
+    assert heads_per_block(8, 40, 320) == 8      # full channel row
+    assert heads_per_block(8, 160, 1280) == 8    # full channel row
 
 
 def test_flash_bf16():
@@ -53,20 +77,48 @@ def test_flash_extreme_logits_stable():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
-def test_flash_ragged_rejected():
-    q, k, v = rand_qkv(3, 1, 2048, 512, 1, 64)
-    # 1500 doesn't tile by the (shrunken) default block and isn't a single
-    # block -> explicit error rather than silent wrong output
-    with pytest.raises(ValueError, match="tile"):
-        flash_attention(q[:, :1500], k, v, interpret=True)
-    # but a length equal to one block auto-shrinks and runs
-    out = flash_attention(q[:, :500], k[:, :500], v[:, :500], interpret=True)
-    assert out.shape == (1, 500, 1, 64)
+def test_flash_cross_attention_kv77():
+    """kv=77 pads to the 128-lane tile; padded columns must be masked out."""
+    q, _, _ = rand_qkv(4, 2, 1024, 1024, 4, 64)
+    _, k, v = rand_qkv(5, 2, 77, 77, 4, 64)
+    out = flash_attention(q, k, v, interpret=True)
+    ref = sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_sdpa_dispatch_stays_on_xla_for_cross_attention():
-    """kv=77 cross-attention must use the einsum path (no flash)."""
-    q, _, _ = rand_qkv(4, 1, 4096, 4096, 2, 64)
-    _, k, v = rand_qkv(5, 1, 4096, 77, 2, 64)
-    out = sdpa(q, k[:, :77], v[:, :77])      # must not raise on CPU
-    assert out.shape == (1, 4096, 2, 64)
+def test_flash_masked_kv_multiblock():
+    """Ragged kv across multiple kv blocks (mask on the trailing block)."""
+    q, _, _ = rand_qkv(8, 1, 256, 256, 2, 64)
+    _, k, v = rand_qkv(9, 1, 300, 300, 2, 64)
+    out = flash_attention(q, k, v, block_q=256, block_kv=128, interpret=True)
+    ref = sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_ragged_q_padded():
+    """Non-divisible q lengths are zero-padded and sliced back."""
+    q, k, v = rand_qkv(3, 1, 1500, 512, 1, 64)
+    out = flash_attention(q, k, v, interpret=True)
+    ref = sdpa_xla(q, k, v)
+    assert out.shape == (1, 1500, 1, 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_attention_hd_einsum_fallback_matches():
+    """Token-major entry point: CPU fallback must equal the 4D einsum path."""
+    q, k, v = rand_qkv(6, 2, 128, 77, 4, 32)
+    b, n, h, d = q.shape
+    out = attention_hd(q.reshape(b, n, h * d), k.reshape(b, 77, h * d),
+                       v.reshape(b, 77, h * d), num_heads=h)
+    ref = sdpa_xla(q, k, v).reshape(b, n, h * d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_attention_hd_flash_matches_einsum():
+    q, k, v = rand_qkv(10, 1, 512, 512, 4, 64)
+    b, n, h, d = q.shape
+    out = attention_hd(q.reshape(b, n, h * d), k.reshape(b, n, h * d),
+                       v.reshape(b, n, h * d), num_heads=h, force_impl="xla")
+    out2 = flash_attention_hd(q.reshape(b, n, h * d), k.reshape(b, n, h * d),
+                              v.reshape(b, n, h * d), h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=2e-5)
