@@ -1,13 +1,20 @@
 """Offline image-quality metrics CLI (parity: utils/calculate_metrics.py).
 
 Walks two directories of same-named PNGs and reports paired metrics
-(PSNR, MSE, optionally LPIPS) plus distribution metrics (FID / CLIP-score)
-when the required feature-extractor weights are supplied:
+(PSNR, MSE, LPIPS) plus distribution metrics (InceptionV3 FID, CLIP-FID)
+and prompt-conditioned CLIP-score when the required weights are supplied:
 
-  python -m cfgpp_tpu.cli.calculate_metrics --input_dir A --label_dir B
+  python -m cfgpp_tpu.cli.calculate_metrics --input_dir A --label_dir B \\
+      --inception_ckpt pt_inception-2015-12-05.pth \\
+      --vgg_ckpt vgg16.pth --lpips_ckpt lpips_vgg.pth \\
+      --clip_ckpt clip_vit_l.safetensors --prompts prompts.txt
 
-Weight-gated metrics name their missing dependency instead of silently
-skipping.  The reference's broken MSE/MNC classes
+Reference parity: FID via pytorch-fid (`utils/calculate_metrics.py:167-182`)
+-> native Flax FID-InceptionV3 (`cfgpp_tpu/metrics/inception.py`); LPIPS vgg
+(`:144-151`) -> `cfgpp_tpu/metrics/lpips.py`; PSNR skimage (`:154-164`) ->
+`metrics/functional.py`.  CLIP-score is a capability add from the build
+north star.  Weight-gated metrics name their missing dependency instead of
+silently skipping.  The reference's broken MSE/MNC classes
 (calculate_metrics.py:134,190-195) are fixed here, not propagated.
 """
 
@@ -50,36 +57,69 @@ def paired_metrics(input_dir: Path, label_dir: Path, logger):
 
 def clip_features(paths, clip_ckpt: str, batch: int = 32) -> np.ndarray:
     """Image embeddings from the CLIP vision tower (for CLIP-FID / CLIP-score)."""
+    from cfgpp_tpu.metrics.clip_score import clip_image_features
+    return clip_image_features([str(p) for p in paths], clip_ckpt, batch=batch)
+
+
+def lpips_metric(input_dir: Path, label_dir: Path, vgg_ckpt: str,
+                 lpips_ckpt: str, batch: int = 8) -> float:
+    """Mean VGG-LPIPS over same-named pairs (reference: lpips net='vgg',
+    utils/calculate_metrics.py:144-151)."""
+    import jax
     import jax.numpy as jnp
 
-    from cfgpp_tpu.models.clip_vision import (CLIPVisionConfig, CLIPVisionModel,
-                                              preprocess_for_clip)
-    from cfgpp_tpu.weights.convert import convert_clip_vision
-    from safetensors.numpy import load_file
+    from cfgpp_tpu.metrics.lpips import LPIPS, convert_vgg16_lpips
+    from cfgpp_tpu.metrics.clip_score import _load_state
 
-    model = CLIPVisionModel(CLIPVisionConfig())
-    params = convert_clip_vision(load_file(clip_ckpt))
-    import jax
-    apply = jax.jit(lambda px: model.apply(params, px))
-    feats = []
-    for i in range(0, len(paths), batch):
-        imgs = np.stack([_load(p) / 255.0 for p in paths[i:i + batch]])
-        feats.append(np.asarray(apply(preprocess_for_clip(jnp.asarray(imgs)))))
-    return np.concatenate(feats)
+    params = convert_vgg16_lpips(_load_state(vgg_ckpt), _load_state(lpips_ckpt))
+    model = LPIPS()
+    apply = jax.jit(lambda a, b: model.apply(params, a, b))
+    ins, labs = _list_images(input_dir), _list_images(label_dir)
+    n = min(len(ins), len(labs))
+    vals = []
+    for i in range(0, n, batch):
+        a = np.stack([_load(p) for p in ins[i:i + batch]]) / 127.5 - 1.0
+        b = np.stack([_load(p) for p in labs[i:i + batch]]) / 127.5 - 1.0
+        vals.append(np.asarray(apply(jnp.asarray(a), jnp.asarray(b))))
+    return float(np.mean(np.concatenate(vals)))
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="cfgpp_tpu metrics")
-    parser.add_argument("--input_dir", type=Path, required=True)
-    parser.add_argument("--label_dir", type=Path, required=True)
+    parser.add_argument("--input_dir", type=Path, required=True,
+                        help="generated images")
+    parser.add_argument("--label_dir", type=Path, required=True,
+                        help="reference images")
+    parser.add_argument("--inception_ckpt", type=str, default=None,
+                        help="pytorch-fid InceptionV3 state dict (.pth or "
+                             ".safetensors); enables standard FID")
     parser.add_argument("--clip_ckpt", type=str, default=None,
-                        help="safetensors CLIP vision weights; enables "
-                             "CLIP-FID between the two directories")
+                        help="CLIP ViT-L weights; enables CLIP-FID (and "
+                             "CLIP-score when --prompts is given)")
+    parser.add_argument("--prompts", type=Path, default=None,
+                        help="text file, one prompt per line aligned with "
+                             "sorted --input_dir images; enables CLIP-score")
+    parser.add_argument("--vgg_ckpt", type=str, default=None,
+                        help="torchvision VGG16 state dict (LPIPS trunk)")
+    parser.add_argument("--lpips_ckpt", type=str, default=None,
+                        help="LPIPS linear-head state dict (lin{i}.model.1.weight)")
     parser.add_argument("--out", type=Path, default=None)
     args = parser.parse_args(argv)
 
     logger = get_logger("metrics")
     results = paired_metrics(args.input_dir, args.label_dir, logger)
+
+    if args.inception_ckpt:
+        from cfgpp_tpu.metrics.inception import inception_features
+        a = inception_features([str(p) for p in _list_images(args.input_dir)],
+                               args.inception_ckpt)
+        b = inception_features([str(p) for p in _list_images(args.label_dir)],
+                               args.inception_ckpt)
+        results["fid"] = fid_from_features(a, b)
+    else:
+        results["fid"] = None
+        logger.info("FID skipped: pass --inception_ckpt (pytorch-fid "
+                    "pt_inception-2015-12-05 state dict)")
 
     if args.clip_ckpt:
         a = clip_features(_list_images(args.input_dir), args.clip_ckpt)
@@ -87,10 +127,32 @@ def main(argv=None):
         results["clip_fid"] = fid_from_features(a, b)
     else:
         results["clip_fid"] = None
-        logger.info("CLIP-FID skipped: pass --clip_ckpt with CLIP vision weights")
-    results["lpips"] = None
-    logger.info("LPIPS requires VGG16+LPIPS weights (none baked in this env); "
-                "see cfgpp_tpu.metrics.lpips")
+        logger.info("CLIP-FID skipped: pass --clip_ckpt with CLIP weights")
+
+    if args.prompts and args.clip_ckpt:
+        from cfgpp_tpu.metrics.clip_score import (clip_score_from_features,
+                                                  clip_text_features)
+        prompts = [ln for ln in args.prompts.read_text().splitlines() if ln.strip()]
+        imgs = _list_images(args.input_dir)
+        n = min(len(prompts), len(imgs))
+        if len(prompts) != len(imgs):
+            logger.warning("%d prompts vs %d images; scoring first %d",
+                           len(prompts), len(imgs), n)
+        t = clip_text_features(prompts[:n], args.clip_ckpt)
+        v = clip_features(imgs[:n], args.clip_ckpt)
+        results["clip_score"] = clip_score_from_features(t, v)
+    else:
+        results["clip_score"] = None
+        if args.prompts and not args.clip_ckpt:
+            logger.info("CLIP-score skipped: --prompts given but no --clip_ckpt")
+
+    if args.vgg_ckpt and args.lpips_ckpt:
+        results["lpips"] = lpips_metric(args.input_dir, args.label_dir,
+                                        args.vgg_ckpt, args.lpips_ckpt)
+    else:
+        results["lpips"] = None
+        logger.info("LPIPS skipped: pass --vgg_ckpt (torchvision VGG16) and "
+                    "--lpips_ckpt (LPIPS linear heads)")
 
     logger.info("metrics: %s", results)
     print(json.dumps(results))

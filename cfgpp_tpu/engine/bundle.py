@@ -106,6 +106,17 @@ class ModelBundle:
                    text_encoder=text, text_params=text_params, tokenizer=tok,
                    text_encoder_2=text2, text_params_2=text_params_2, tokenizer_2=tok2)
 
+    def quantized(self) -> "ModelBundle":
+        """Opt-in int8 W8A8 UNet (see models/quant.py): returns a new bundle
+        whose UNet runs transformer projections on the 394-TOPS int8 MXU
+        path.  Numerics differ from the exact bf16 path — never the default."""
+        from cfgpp_tpu.weights.quantize import quantize_unet_params
+        unet_q = UNet2DConditionModel(self.config.unet, dtype=self.unet.dtype,
+                                      param_dtype=self.unet.param_dtype,
+                                      quant=True)
+        return dataclasses.replace(
+            self, unet=unet_q, unet_params=quantize_unet_params(self.unet_params))
+
     @classmethod
     def from_pretrained(cls, checkpoint_dir: str, config_or_name,
                         dtype: jnp.dtype = jnp.bfloat16,

@@ -88,6 +88,8 @@ class Attention(nn.Module):
 
     Self-attention when ``context`` is None; cross-attention otherwise.
     q/k/v projections have no bias; the output projection does.
+    ``quant=True`` swaps the projections for int8 W8A8 `QuantDense`
+    (opt-in fast path, see models/quant.py).
     """
 
     num_heads: int
@@ -95,13 +97,19 @@ class Attention(nn.Module):
     out_dim: int
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         ctx = x if context is None else context
         inner = self.num_heads * self.head_dim
-        dense = functools.partial(nn.Dense, dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.quant:
+            from cfgpp_tpu.models.quant import QuantDense
+            dense = functools.partial(QuantDense, dtype=self.dtype)
+        else:
+            dense = functools.partial(nn.Dense, dtype=self.dtype,
+                                      param_dtype=self.param_dtype)
         q = dense(inner, use_bias=False, name="to_q")(x)
         k = dense(inner, use_bias=False, name="to_k")(ctx)
         v = dense(inner, use_bias=False, name="to_v")(ctx)

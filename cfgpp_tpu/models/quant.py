@@ -1,0 +1,78 @@
+"""Int8 W8A8 quantized projection layers (opt-in fast path).
+
+TPU v5e executes int8 MXU matmuls at 394 TOPS — 2x the bf16 peak — and
+XLA's native int8 `dot_general` reaches ~364 TF/s measured (92% of peak),
+vs ~180 TF/s for the same matmul in bf16.  Since the SDXL denoising step is
+~64% matmul FLOPs (8.7 of 13.5 TF at 1024^2 batch-2), quantizing the
+transformer projections roughly halves their runtime and is the difference
+between ~0.4 and ~0.5+ img/s/chip.
+
+Recipe (standard robust W8A8):
+* weights: symmetric per-output-channel int8, quantized once at load time
+  (`cfgpp_tpu.weights.quantize.quantize_unet_params`);
+* activations: symmetric per-token dynamic int8 — the row-wise absmax is
+  computed on the fly (cheap VPU pass that XLA fuses and CSEs across the
+  q/k/v projections sharing one layernorm output);
+* accumulation in int32, dequantized by the rank-1 outer product of the two
+  scale vectors, bias added in f32.
+
+This changes numerics relative to the exact bf16 path and is therefore
+strictly opt-in (`ModelBundle.quantized()`); the exact path stays the
+default everywhere.  The reference has no quantization story at all
+(fp16 autocast only, `latent_diffusion.py:254`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def quantize_kernel_int8(kernel) -> tuple:
+    """bf16/f32 [K, N] kernel -> (int8 [K, N], f32 [N] per-column scale)."""
+    import numpy as np
+    k = np.asarray(kernel, np.float32)
+    scale = np.maximum(np.max(np.abs(k), axis=0), 1e-8) / 127.0
+    kq = np.clip(np.rint(k / scale), -127, 127).astype(np.int8)
+    return kq, scale.astype(np.float32)
+
+
+def quantize_activation_int8(x: jnp.ndarray):
+    """Per-token (row) dynamic symmetric quantization.  [..., K] bf16/f32 ->
+    (int8 [..., K], f32 [..., 1] scale)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf / sx), -127.0, 127.0).astype(jnp.int8)
+    return xq, sx
+
+
+class QuantDense(nn.Module):
+    """Drop-in int8 replacement for `nn.Dense` (no-bias or bias).
+
+    Params: ``kernel`` int8 [K, N], ``scale`` f32 [N], optional ``bias``.
+    Produced from a bf16 Dense by `quantize_unet_params`; the module itself
+    never trains or quantizes weights.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.zeros,
+                            (x.shape[-1], self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        xq, sx = quantize_activation_int8(x)
+        acc = jax.lax.dot_general(
+            xq, kernel, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * sx * scale
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)

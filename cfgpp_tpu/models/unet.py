@@ -85,17 +85,22 @@ class FeedForward(nn.Module):
     mult: int = 4
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.quant:
+            from cfgpp_tpu.models.quant import QuantDense
+            dense = functools.partial(QuantDense, dtype=self.dtype)
+        else:
+            dense = functools.partial(nn.Dense, dtype=self.dtype,
+                                      param_dtype=self.param_dtype)
         inner = self.dim * self.mult
-        proj = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="net_0_proj")(x)
+        proj = dense(inner * 2, name="net_0_proj")(x)
         x_p, gate = jnp.split(proj, 2, axis=-1)
         # erf-based gelu (diffusers GEGLU uses non-approximate F.gelu)
         x = x_p * nn.gelu(gate, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="net_2")(x)
+        return dense(self.dim, name="net_2")(x)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -103,6 +108,7 @@ class BasicTransformerBlock(nn.Module):
     head_dim: int
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, context):
@@ -111,11 +117,12 @@ class BasicTransformerBlock(nn.Module):
                                param_dtype=self.param_dtype)
         attn = functools.partial(Attention, num_heads=self.num_heads,
                                  head_dim=self.head_dim, out_dim=dim,
-                                 dtype=self.dtype, param_dtype=self.param_dtype)
+                                 dtype=self.dtype, param_dtype=self.param_dtype,
+                                 quant=self.quant)
         x = x + attn(name="attn1")(ln(name="norm1")(x))
         x = x + attn(name="attn2")(ln(name="norm2")(x), context=context)
         x = x + FeedForward(dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                            name="ff")(ln(name="norm3")(x))
+                            quant=self.quant, name="ff")(ln(name="norm3")(x))
         return x
 
 
@@ -127,29 +134,34 @@ class Transformer2DModel(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, context):
         b, h, w, c = x.shape
         inner = self.num_heads * self.head_dim
+        if self.quant and self.use_linear_projection:
+            from cfgpp_tpu.models.quant import QuantDense
+            dense = functools.partial(QuantDense, dtype=self.dtype)
+        else:
+            dense = functools.partial(nn.Dense, dtype=self.dtype,
+                                      param_dtype=self.param_dtype)
         residual = x
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="norm")(x)
         if self.use_linear_projection:
             x = x.reshape(b, h * w, c)
-            x = nn.Dense(inner, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="proj_in")(x)
+            x = dense(inner, name="proj_in")(x)
         else:
             x = nn.Conv(inner, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype,
                         name="proj_in")(x)
             x = x.reshape(b, h * w, inner)
         for i in range(self.num_layers):
             x = BasicTransformerBlock(self.num_heads, self.head_dim, dtype=self.dtype,
-                                      param_dtype=self.param_dtype,
+                                      param_dtype=self.param_dtype, quant=self.quant,
                                       name=f"transformer_blocks_{i}")(x, context)
         if self.use_linear_projection:
-            x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="proj_out")(x)
+            x = dense(c, name="proj_out")(x)
             x = x.reshape(b, h, w, c)
         else:
             x = x.reshape(b, h, w, inner)
@@ -188,6 +200,7 @@ class UNet2DConditionModel(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
@@ -239,6 +252,7 @@ class UNet2DConditionModel(nn.Module):
                     x = Transformer2DModel(
                         heads, out_ch // heads, cfg.transformer_layers_per_block[i],
                         cfg.use_linear_projection, cfg.norm_num_groups,
+                        quant=self.quant,
                         name=f"down_blocks_{i}_attentions_{j}", **kw)(x, context)
                 res_stack.append(x)
             if i < n_blocks - 1:
@@ -253,6 +267,7 @@ class UNet2DConditionModel(nn.Module):
         x = Transformer2DModel(mid_heads, mid_ch // mid_heads,
                                cfg.transformer_layers_per_block[-1],
                                cfg.use_linear_projection, cfg.norm_num_groups,
+                               quant=self.quant,
                                name="mid_block_attentions_0", **kw)(x, context)
         x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
                           name="mid_block_resnets_1", **kw)(x, emb)
@@ -273,6 +288,7 @@ class UNet2DConditionModel(nn.Module):
                     x = Transformer2DModel(
                         rev_heads[i], out_ch // rev_heads[i], rev_tlayers[i],
                         cfg.use_linear_projection, cfg.norm_num_groups,
+                        quant=self.quant,
                         name=f"up_blocks_{i}_attentions_{j}", **kw)(x, context)
             if i < n_blocks - 1:
                 x = Upsample2D(out_ch, name=f"up_blocks_{i}_upsamplers_0", **kw)(x)

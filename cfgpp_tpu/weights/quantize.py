@@ -1,0 +1,50 @@
+"""Offline int8 weight quantization for the opt-in W8A8 UNet fast path.
+
+Walks a bf16 UNet param tree and converts every transformer projection
+kernel (attention q/k/v/out, GEGLU feed-forward, linear proj_in/proj_out)
+to symmetric per-output-channel int8 plus an f32 scale vector — the param
+layout `cfgpp_tpu.models.quant.QuantDense` consumes.  Convolutions, norms
+and the (tiny, quality-sensitive) time/added-condition embeddings stay in
+bf16.
+
+See models/quant.py for the runtime side and the measured v5e numbers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+
+from cfgpp_tpu.models.quant import quantize_kernel_int8
+
+# Dense layers inside the UNet that the quant=True module tree replaces
+# with QuantDense.  Names mirror diffusers' state-dict keys (convert.py).
+QUANT_LAYER_NAMES = frozenset({
+    "to_q", "to_k", "to_v", "to_out",       # attention projections
+    "net_0_proj", "net_2",                  # GEGLU feed-forward
+    "proj_in", "proj_out",                  # transformer linear projections
+})
+
+
+def quantize_unet_params(params: Any) -> Any:
+    """bf16 UNet params -> mixed tree with int8 QuantDense leaves.
+
+    ``proj_in``/``proj_out`` are only quantized when they are true Dense
+    layers (2-D kernels, use_linear_projection=True); the SD-1.5 1x1-conv
+    variant (4-D kernels) passes through untouched.
+    """
+    def walk(tree, name):
+        if isinstance(tree, Mapping):
+            kernel = tree.get("kernel")
+            if (name in QUANT_LAYER_NAMES and kernel is not None
+                    and getattr(kernel, "ndim", 0) == 2):
+                kq, scale = quantize_kernel_int8(kernel)
+                new = {"kernel": jnp.asarray(kq), "scale": jnp.asarray(scale)}
+                if "bias" in tree:
+                    new["bias"] = jnp.asarray(tree["bias"], jnp.float32)
+                return new
+            return {k: walk(v, k) for k, v in tree.items()}
+        return tree
+
+    return walk(params, "")

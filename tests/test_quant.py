@@ -1,0 +1,127 @@
+"""Int8 W8A8 quantization tests (models/quant.py, weights/quantize.py).
+
+Covers: QuantDense vs nn.Dense numerics on random weights, the param-tree
+transform (which layers convert, which stay bf16), and an end-to-end
+quantized tiny-UNet forward whose output must stay close to the exact path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from cfgpp_tpu.models.quant import (QuantDense, quantize_activation_int8,
+                                    quantize_kernel_int8)
+from cfgpp_tpu.weights.quantize import quantize_unet_params
+
+
+def test_quant_dense_matches_dense():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 64, 128), jnp.float32)
+    dense = nn.Dense(256, dtype=jnp.float32)
+    params = dense.init(key, x)
+    ref = dense.apply(params, x)
+
+    kq, scale = quantize_kernel_int8(params["params"]["kernel"])
+    qparams = {"params": {"kernel": jnp.asarray(kq), "scale": jnp.asarray(scale),
+                          "bias": jnp.asarray(params["params"]["bias"], jnp.float32)}}
+    out = QuantDense(256, dtype=jnp.float32).apply(qparams, x)
+    # W8A8 with per-token/per-channel scales: ~1% relative error expected
+    rel = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.02, rel
+
+
+def test_quant_dense_no_bias():
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (2, 16, 32), jnp.float32)
+    dense = nn.Dense(64, use_bias=False, dtype=jnp.float32)
+    params = dense.init(key, x)
+    ref = dense.apply(params, x)
+    kq, scale = quantize_kernel_int8(params["params"]["kernel"])
+    out = QuantDense(64, use_bias=False, dtype=jnp.float32).apply(
+        {"params": {"kernel": jnp.asarray(kq), "scale": jnp.asarray(scale)}}, x)
+    rel = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.02, rel
+
+
+def test_quantize_activation_zero_row_safe():
+    x = jnp.zeros((2, 8))
+    xq, sx = quantize_activation_int8(x)
+    assert bool(jnp.isfinite(sx).all())
+    assert int(jnp.abs(xq).max()) == 0
+
+
+def test_quantize_kernel_roundtrip_accuracy():
+    rng = np.random.default_rng(0)
+    k = rng.normal(size=(128, 64)).astype(np.float32)
+    kq, scale = quantize_kernel_int8(k)
+    deq = kq.astype(np.float32) * scale
+    assert np.abs(deq - k).max() < np.abs(k).max() / 100
+
+
+def test_quantize_unet_params_selectivity():
+    """Attention/ff/linear-proj kernels convert; convs and time-emb don't."""
+    params = {"params": {
+        "down_blocks_1_attentions_0": {
+            "transformer_blocks_0": {
+                "attn1": {"to_q": {"kernel": np.ones((8, 8), np.float32)},
+                          "to_out": {"kernel": np.ones((8, 8), np.float32),
+                                     "bias": np.zeros(8, np.float32)}},
+                "ff": {"net_0_proj": {"kernel": np.ones((8, 64), np.float32),
+                                      "bias": np.zeros(64, np.float32)}},
+            },
+            "proj_in": {"kernel": np.ones((8, 8), np.float32)},
+        },
+        # SD-1.5 conv-style proj_in (4D kernel) must NOT convert
+        "down_blocks_0_attentions_0": {
+            "proj_in": {"kernel": np.ones((1, 1, 8, 8), np.float32)},
+        },
+        "time_embedding": {"linear_1": {"kernel": np.ones((8, 32), np.float32),
+                                        "bias": np.zeros(32, np.float32)}},
+        "conv_in": {"kernel": np.ones((3, 3, 4, 8), np.float32)},
+    }}
+    q = quantize_unet_params(params)
+    tb = q["params"]["down_blocks_1_attentions_0"]["transformer_blocks_0"]
+    assert tb["attn1"]["to_q"]["kernel"].dtype == jnp.int8
+    assert "scale" in tb["attn1"]["to_q"]
+    assert tb["attn1"]["to_out"]["bias"].dtype == jnp.float32
+    assert tb["ff"]["net_0_proj"]["kernel"].dtype == jnp.int8
+    assert q["params"]["down_blocks_1_attentions_0"]["proj_in"]["kernel"].dtype == jnp.int8
+    # untouched:
+    assert q["params"]["down_blocks_0_attentions_0"]["proj_in"]["kernel"].dtype == np.float32
+    assert q["params"]["time_embedding"]["linear_1"]["kernel"].dtype == np.float32
+    assert q["params"]["conv_in"]["kernel"].dtype == np.float32
+
+
+def test_quantized_tiny_unet_forward_close():
+    from cfgpp_tpu.engine import ModelBundle
+    bundle = ModelBundle.random_init("tiny_sdxl", dtype=jnp.float32,
+                                     param_dtype=jnp.float32)
+    qb = bundle.quantized()
+    assert qb.unet.quant and not bundle.unet.quant
+
+    key = jax.random.PRNGKey(0)
+    ctx_dim = bundle.config.unet.cross_attention_dim
+    pooled = bundle.config.text_encoder_2.projection_dim
+    z = jax.random.normal(key, (2, 8, 8, 4), jnp.float32)
+    ctx = jax.random.normal(key, (2, 77, ctx_dim), jnp.float32)
+    pool = jax.random.normal(key, (2, pooled), jnp.float32)
+    tids = jnp.ones((2, 6), jnp.float32)
+    t = jnp.asarray([500, 500])
+
+    ref = bundle.unet.apply(bundle.unet_params, z, t, ctx, pool, tids)
+    out = qb.unet.apply(qb.unet_params, z, t, ctx, pool, tids)
+    assert out.shape == ref.shape
+    # int8 projections perturb eps mildly; the signal must survive
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.15, rel
+
+
+def test_quantized_tiny_engine_sample_runs():
+    from cfgpp_tpu.engine import DiffusionEngine, ModelBundle
+    bundle = ModelBundle.random_init("tiny_sdxl", dtype=jnp.float32,
+                                     param_dtype=jnp.float32).quantized()
+    engine = DiffusionEngine(bundle, solver="ddim_cfg++", nfe=2)
+    img = engine.sample(["", "a cat"], cfg_guidance=2.0, seed=0, resolution=16)
+    assert img.shape == (1, 16, 16, 3)
+    assert bool(np.isfinite(img).all())
