@@ -18,6 +18,11 @@ def main(argv=None):
     add_common_args(parser, default_method="ddim_inversion_cfg++", default_nfe=10)
     parser.add_argument("--img_path", type=str, required=True)
     parser.add_argument("--img_size", type=int, default=512)
+    parser.add_argument("--latent_init", type=str, default="ddim",
+                        choices=("ddim", "npi"),
+                        help="ddim: invert with the null prompt; npi: "
+                             "negative-prompt inversion (cond prompt as "
+                             "null, w=1; latent_diffusion.py:195-197)")
     parser.set_defaults(null_prompt="")
     args = parser.parse_args(argv)
 
@@ -32,6 +37,7 @@ def main(argv=None):
         seed=args.seed,
         resolution=args.img_size,
         src_img=img,
+        latent_init=args.latent_init,
     )
     out = workdir / "result" / "reconstruct.png"
     save_image(result, out, normalize_img=True)

@@ -196,10 +196,17 @@ class DiffusionEngine:
         clip_skip: Optional[int] = None,
         init_latent_override: Optional[jnp.ndarray] = None,
         return_trajectory: bool = False,
+        latent_init: Optional[str] = None,
     ) -> np.ndarray:
         """Generate images.  ``prompt`` is [null, cond] (or [null, src, tgt]
         for edit solvers), mirroring the reference CLIs.  Returns float32
-        NHWC images in [0, 1]."""
+        NHWC images in [0, 1].
+
+        ``latent_init``: inversion solvers accept "ddim" (default — invert
+        with the real null prompt) or "npi" (negative-prompt inversion,
+        latent_diffusion.py:195-197: the conditional embedding serves as
+        the null prompt with w=1, collapsing to a single-branch forward).
+        """
         family = self.bundle.family
         res = resolution or self.default_resolution()
         if self.spec.lightning and float(cfg_guidance) != 1.0:
@@ -242,13 +249,18 @@ class DiffusionEngine:
             src_img = jnp.asarray(src_img, jnp.float32)
         else:
             src_img = jnp.zeros((batch, 8, 8, 3), jnp.float32)  # placeholder
+        if latent_init not in (None, "ddim", "npi"):
+            raise ValueError(f"unknown latent_init {latent_init!r}")
+        if latent_init == "npi" and not self.spec.inversion:
+            raise ValueError("latent_init='npi' requires an inversion solver")
 
         with_traj = (callback_fn is not None or return_trajectory) and not unrolled
         runner = self._get_runner(
             mode=_needs_branches(self.spec.cfgpp, float(cfg_guidance)),
             batch=batch, res=res,
             n_cond=len(ids_cs), with_traj=with_traj,
-            unrolled=unrolled, clip_skip=clip_skip)
+            unrolled=unrolled, clip_skip=clip_skip,
+            latent_init=latent_init)
 
         w_arr = jnp.float32(cfg_guidance)
         if unrolled:
@@ -339,8 +351,10 @@ class DiffusionEngine:
     # ------------------------------------------------------------- internals
     def _get_runner(self, mode: Tuple[bool, bool], batch: int, res: int,
                     n_cond: int, with_traj: bool, unrolled: bool,
-                    clip_skip: Optional[int] = None):
-        cache_key = (mode, batch, res, n_cond, with_traj, unrolled, clip_skip)
+                    clip_skip: Optional[int] = None,
+                    latent_init: Optional[str] = None):
+        cache_key = (mode, batch, res, n_cond, with_traj, unrolled, clip_skip,
+                     latent_init)
         if cache_key in self._cache:
             return self._cache[cache_key]
 
@@ -382,11 +396,24 @@ class DiffusionEngine:
 
             if spec.inversion:
                 z0 = self._encode(params["vae"], src_img, k_enc)
-                added_uc_inv, added_c_inv = added_for(
-                    pool_uc, pool_cs[0] if pool_cs else None, kwargs)
-                inv_eps = self._make_eps_fn(params["unet"], uc, cs[0], w,
-                                            added_uc_inv, added_c_inv, mode=mode)
-                zT = run_inversion(spec, self.inv_plan, inv_eps, z0, w)
+                if latent_init == "npi":
+                    # negative-prompt inversion: c doubles as the null
+                    # prompt at w=1, so eps_c == eps_uc and one branch
+                    # suffices (latent_diffusion.py:195-197)
+                    _, added_c_inv = added_for(
+                        pool_uc, pool_cs[0] if pool_cs else None, kwargs)
+                    inv_eps = self._make_eps_fn(
+                        params["unet"], cs[0], cs[0], 1.0,
+                        added_c_inv, added_c_inv, mode=(True, False))
+                    zT = run_inversion(spec, self.inv_plan, inv_eps, z0,
+                                       jnp.float32(1.0))
+                else:
+                    added_uc_inv, added_c_inv = added_for(
+                        pool_uc, pool_cs[0] if pool_cs else None, kwargs)
+                    inv_eps = self._make_eps_fn(params["unet"], uc, cs[0], w,
+                                                added_uc_inv, added_c_inv,
+                                                mode=mode)
+                    zT = run_inversion(spec, self.inv_plan, inv_eps, z0, w)
             elif "zT_override" in kwargs:
                 zT = kwargs["zT_override"]
             elif k_init.ndim == 2:

@@ -59,11 +59,21 @@ class ResnetBlock2D(nn.Module):
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, temb):
-        conv = functools.partial(nn.Conv, self.out_channels, (3, 3), padding=1,
-                                 dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.quant:
+            from cfgpp_tpu.models.quant import QuantConv
+            conv = functools.partial(QuantConv, self.out_channels, (3, 3),
+                                     padding=1, dtype=self.dtype)
+            conv1x1 = functools.partial(QuantConv, self.out_channels, (1, 1),
+                                        padding=0, dtype=self.dtype)
+        else:
+            conv = functools.partial(nn.Conv, self.out_channels, (3, 3), padding=1,
+                                     dtype=self.dtype, param_dtype=self.param_dtype)
+            conv1x1 = functools.partial(nn.Conv, self.out_channels, (1, 1),
+                                        dtype=self.dtype, param_dtype=self.param_dtype)
         gn = functools.partial(nn.GroupNorm, num_groups=self.groups, epsilon=self.eps,
                                dtype=self.dtype, param_dtype=self.param_dtype)
         h = nn.silu(gn(name="norm1")(x))
@@ -74,8 +84,7 @@ class ResnetBlock2D(nn.Module):
         h = nn.silu(gn(name="norm2")(h))
         h = conv(name="conv2")(h)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="conv_shortcut")(x)
+            x = conv1x1(name="conv_shortcut")(x)
         return x + h
 
 
@@ -174,9 +183,15 @@ class Downsample2D(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.quant:
+            from cfgpp_tpu.models.quant import QuantConv
+            return QuantConv(self.channels, (3, 3), strides=(2, 2),
+                             padding=((1, 1), (1, 1)), dtype=self.dtype,
+                             name="conv")(x)
         return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                        dtype=self.dtype, param_dtype=self.param_dtype, name="conv")(x)
 
@@ -185,10 +200,15 @@ class Upsample2D(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
+        if self.quant:
+            from cfgpp_tpu.models.quant import QuantConv
+            return QuantConv(self.channels, (3, 3), padding=1,
+                             dtype=self.dtype, name="conv")(x)
         return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
                        param_dtype=self.param_dtype, name="conv")(x)
 
@@ -247,6 +267,7 @@ class UNet2DConditionModel(nn.Module):
             heads = cfg.num_attention_heads[i]
             for j in range(cfg.layers_per_block):
                 x = ResnetBlock2D(out_ch, cfg.norm_num_groups, cfg.norm_eps,
+                                  quant=self.quant,
                                   name=f"down_blocks_{i}_resnets_{j}", **kw)(x, emb)
                 if has_attn:
                     x = Transformer2DModel(
@@ -256,21 +277,22 @@ class UNet2DConditionModel(nn.Module):
                         name=f"down_blocks_{i}_attentions_{j}", **kw)(x, context)
                 res_stack.append(x)
             if i < n_blocks - 1:
-                x = Downsample2D(out_ch, name=f"down_blocks_{i}_downsamplers_0", **kw)(x)
+                x = Downsample2D(out_ch, quant=self.quant,
+                                 name=f"down_blocks_{i}_downsamplers_0", **kw)(x)
                 res_stack.append(x)
 
         # ---- mid ----
         mid_ch = cfg.block_out_channels[-1]
         mid_heads = cfg.num_attention_heads[-1]
         x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
-                          name="mid_block_resnets_0", **kw)(x, emb)
+                          quant=self.quant, name="mid_block_resnets_0", **kw)(x, emb)
         x = Transformer2DModel(mid_heads, mid_ch // mid_heads,
                                cfg.transformer_layers_per_block[-1],
                                cfg.use_linear_projection, cfg.norm_num_groups,
                                quant=self.quant,
                                name="mid_block_attentions_0", **kw)(x, context)
         x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
-                          name="mid_block_resnets_1", **kw)(x, emb)
+                          quant=self.quant, name="mid_block_resnets_1", **kw)(x, emb)
 
         # ---- up ----
         rev_channels = list(reversed(cfg.block_out_channels))
@@ -283,6 +305,7 @@ class UNet2DConditionModel(nn.Module):
                 res = res_stack.pop()
                 x = jnp.concatenate([x, res], axis=-1)
                 x = ResnetBlock2D(out_ch, cfg.norm_num_groups, cfg.norm_eps,
+                                  quant=self.quant,
                                   name=f"up_blocks_{i}_resnets_{j}", **kw)(x, emb)
                 if has_attn:
                     x = Transformer2DModel(
@@ -291,7 +314,8 @@ class UNet2DConditionModel(nn.Module):
                         quant=self.quant,
                         name=f"up_blocks_{i}_attentions_{j}", **kw)(x, context)
             if i < n_blocks - 1:
-                x = Upsample2D(out_ch, name=f"up_blocks_{i}_upsamplers_0", **kw)(x)
+                x = Upsample2D(out_ch, quant=self.quant,
+                               name=f"up_blocks_{i}_upsamplers_0", **kw)(x)
 
         x = nn.silu(gn(name="conv_norm_out")(x))
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **kw)(x)

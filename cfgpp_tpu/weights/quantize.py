@@ -25,21 +25,31 @@ QUANT_LAYER_NAMES = frozenset({
     "net_0_proj", "net_2",                  # GEGLU feed-forward
     "proj_in", "proj_out",                  # transformer linear projections
 })
+# Convolutions replaced with QuantConv: resnet convs + shortcut and the
+# up/downsampler convs ("conv" only occurs under *samplers_0 in this tree).
+# conv_in / conv_out (first and last layer) deliberately stay bf16.
+QUANT_CONV_NAMES = frozenset({"conv1", "conv2", "conv_shortcut", "conv"})
 
 
 def quantize_unet_params(params: Any) -> Any:
-    """bf16 UNet params -> mixed tree with int8 QuantDense leaves.
+    """bf16 UNet params -> mixed tree with int8 QuantDense/QuantConv leaves.
 
     ``proj_in``/``proj_out`` are only quantized when they are true Dense
     layers (2-D kernels, use_linear_projection=True); the SD-1.5 1x1-conv
     variant (4-D kernels) passes through untouched.
     """
+    from cfgpp_tpu.models.quant import quantize_conv_kernel_int8
+
     def walk(tree, name):
         if isinstance(tree, Mapping):
             kernel = tree.get("kernel")
-            if (name in QUANT_LAYER_NAMES and kernel is not None
-                    and getattr(kernel, "ndim", 0) == 2):
-                kq, scale = quantize_kernel_int8(kernel)
+            ndim = getattr(kernel, "ndim", 0)
+            if kernel is not None and (
+                    (name in QUANT_LAYER_NAMES and ndim == 2)
+                    or (name in QUANT_CONV_NAMES and ndim == 4)):
+                quant = (quantize_kernel_int8 if ndim == 2
+                         else quantize_conv_kernel_int8)
+                kq, scale = quant(kernel)
                 new = {"kernel": jnp.asarray(kq), "scale": jnp.asarray(scale)}
                 if "bias" in tree:
                     new["bias"] = jnp.asarray(tree["bias"], jnp.float32)

@@ -209,3 +209,35 @@ def test_unrolled_mutating_callback(sd_bundle):
     mutated = eng.sample(["", "x"], cfg_guidance=0.6, seed=5, resolution=16,
                          unrolled=True, callback_fn=mutate)
     assert not np.array_equal(base, mutated)
+
+
+def test_npi_latent_init(tiny_sd_engine_factory=None):
+    """npi inversion: cond embedding as null, w=1 (latent_diffusion.py:195-197).
+    Must equal running the same solver with null==cond prompt and w=1."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfgpp_tpu.engine import DiffusionEngine, ModelBundle
+
+    bundle = ModelBundle.random_init("tiny_sd", dtype=jnp.float32,
+                                     param_dtype=jnp.float32)
+    engine = DiffusionEngine(bundle, solver="ddim_inversion_cfg++", nfe=2)
+    src = np.random.default_rng(0).uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+
+    npi = engine.sample(["null text", "a cat"], cfg_guidance=1.0, seed=0,
+                        resolution=32, src_img=src, latent_init="npi")
+    # reference semantics: npi == inversion where the null prompt IS the
+    # cond prompt at w=1 (the sampling pass here also runs at w=1)
+    ref = engine.sample(["a cat", "a cat"], cfg_guidance=1.0, seed=0,
+                        resolution=32, src_img=src)
+    # npi runs the inversion single-branch (batch-1 UNet) while ref runs
+    # dual-branch with identical contexts (batch-2): same math, different
+    # XLA reduction order -> small fp drift through 2 steps + VAE decode
+    np.testing.assert_allclose(npi, ref, atol=0.03)
+
+    # guard: npi on a non-inversion solver is an error
+    t2i = DiffusionEngine(bundle, solver="ddim_cfg++", nfe=2)
+    import pytest
+    with pytest.raises(ValueError, match="npi"):
+        t2i.sample(["", "a cat"], cfg_guidance=1.0, seed=0, resolution=32,
+                   latent_init="npi")

@@ -125,3 +125,36 @@ def test_quantized_tiny_engine_sample_runs():
     img = engine.sample(["", "a cat"], cfg_guidance=2.0, seed=0, resolution=16)
     assert img.shape == (1, 16, 16, 3)
     assert bool(np.isfinite(img).all())
+
+
+def test_quant_conv_matches_conv():
+    key = jax.random.PRNGKey(3)
+    from cfgpp_tpu.models.quant import QuantConv, quantize_conv_kernel_int8
+    x = jax.random.normal(key, (2, 16, 16, 32), jnp.float32)
+    conv = nn.Conv(64, (3, 3), padding=1, dtype=jnp.float32)
+    params = conv.init(key, x)
+    ref = conv.apply(params, x)
+    kq, scale = quantize_conv_kernel_int8(params["params"]["kernel"])
+    out = QuantConv(64, (3, 3), padding=1, dtype=jnp.float32).apply(
+        {"params": {"kernel": jnp.asarray(kq), "scale": jnp.asarray(scale),
+                    "bias": jnp.asarray(params["params"]["bias"], jnp.float32)}}, x)
+    rel = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.03, rel
+
+
+def test_quant_conv_strided_matches():
+    key = jax.random.PRNGKey(4)
+    from cfgpp_tpu.models.quant import QuantConv, quantize_conv_kernel_int8
+    x = jax.random.normal(key, (1, 16, 16, 8), jnp.float32)
+    conv = nn.Conv(16, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                   dtype=jnp.float32)
+    params = conv.init(key, x)
+    ref = conv.apply(params, x)
+    kq, scale = quantize_conv_kernel_int8(params["params"]["kernel"])
+    out = QuantConv(16, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=jnp.float32).apply(
+        {"params": {"kernel": jnp.asarray(kq), "scale": jnp.asarray(scale),
+                    "bias": jnp.asarray(params["params"]["bias"], jnp.float32)}}, x)
+    assert out.shape == ref.shape
+    rel = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.03, rel
