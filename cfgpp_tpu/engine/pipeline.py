@@ -292,10 +292,17 @@ class DiffusionEngine:
         target_size: Optional[Tuple[int, int]] = None,
         as_numpy: bool = True,
         to_uint8: bool = False,
+        src_imgs: Optional[jnp.ndarray] = None,
+        src_prompts: Optional[Sequence[str]] = None,
     ) -> np.ndarray:
-        """Batched T2I: one fused run over B prompts, optionally sharded
-        data-parallel over a device mesh (the TPU replacement for the
-        reference's serial MS-COCO loop, examples/text_to_mscoco.py:54-62).
+        """Batched generation: one fused run over B prompts, optionally
+        sharded data-parallel over a device mesh (the TPU replacement for
+        the reference's serial MS-COCO loop, examples/text_to_mscoco.py:54-62).
+
+        Supports plain T2I solvers AND inversion/edit solvers: pass
+        ``src_imgs`` [B,H,W,3] in [-1,1] for inversion (reconstruction of
+        B images in one fused run), plus ``src_prompts`` for word-swap edit
+        solvers (``prompts`` are then the edit targets).
 
         ``sample_indices`` keys each sample's noise stream by its GLOBAL
         index, so results are identical across batch sizes / shardings.
@@ -305,11 +312,13 @@ class DiffusionEngine:
         ``to_uint8`` converts to uint8 ON DEVICE: 4x less host transfer
         (the PNG writer wants uint8 anyway).
         """
-        if self.spec.inversion or self.spec.edit:
-            raise ValueError("sample_batch supports plain T2I solvers only")
         if self.spec.lightning and float(cfg_guidance) != 1.0:
             raise ValueError(
                 "CFG should be turned off (cfg_guidance=1) in the lightning version")
+        if self.spec.inversion and src_imgs is None:
+            raise ValueError(f"solver {self.solver_name} needs src_imgs")
+        if self.spec.edit and src_prompts is None:
+            raise ValueError(f"edit solver {self.solver_name} needs src_prompts")
         batch = len(prompts)
         res = resolution or self.default_resolution()
         idx = np.asarray(sample_indices if sample_indices is not None
@@ -318,17 +327,32 @@ class DiffusionEngine:
         sample_keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.asarray(idx))
 
         ids_uc = self.tokenize([null_prompt] * batch)
-        ids_cs = [self.tokenize(list(prompts))]
+        if self.spec.edit:
+            ids_cs = [self.tokenize(list(src_prompts)), self.tokenize(list(prompts))]
+        else:
+            ids_cs = [self.tokenize(list(prompts))]
         kwargs: Dict[str, Any] = {}
         if self.bundle.family == "sdxl":
             np2 = null_prompt_2 if null_prompt_2 is not None else null_prompt
             ps2 = list(prompts_2) if prompts_2 is not None else list(prompts)
             kwargs["ids2_uc"] = self.tokenize_2([np2] * batch)
-            kwargs["ids2_cs"] = [self.tokenize_2(ps2)]
+            if self.spec.edit:
+                kwargs["ids2_cs"] = [self.tokenize_2(list(src_prompts)),
+                                     self.tokenize_2(ps2)]
+            else:
+                kwargs["ids2_cs"] = [self.tokenize_2(ps2)]
             osz = original_size or (res, res)
             tsz = target_size or (res, res)
             kwargs["time_ids"] = jnp.asarray(
                 self.make_add_time_ids(batch, osz, crops_coords_top_left, tsz))
+
+        if self.spec.inversion:
+            src_batch = jnp.asarray(src_imgs, jnp.float32)
+            if src_batch.shape[0] != batch:
+                raise ValueError(
+                    f"{src_batch.shape[0]} src_imgs vs {batch} prompts")
+        else:
+            src_batch = jnp.zeros((batch, 8, 8, 3), jnp.float32)
 
         if mesh is not None:
             from cfgpp_tpu.parallel import shard_batch
@@ -336,13 +360,14 @@ class DiffusionEngine:
             ids_cs = shard_batch(ids_cs, mesh)
             sample_keys = shard_batch(sample_keys, mesh)
             kwargs = shard_batch(kwargs, mesh)
+            src_batch = shard_batch(src_batch, mesh)
 
         runner = self._get_runner(
             mode=_needs_branches(self.spec.cfgpp, float(cfg_guidance)),
-            batch=batch, res=res, n_cond=1, with_traj=False, unrolled=False)
-        dummy = jnp.zeros((batch, 8, 8, 3), jnp.float32)
-        k_enc = jax.random.PRNGKey(0)
-        img, _ = runner(jnp.float32(cfg_guidance), ids_uc, ids_cs, dummy,
+            batch=batch, res=res, n_cond=len(ids_cs), with_traj=False,
+            unrolled=False)
+        k_enc = jax.random.PRNGKey(seed)
+        img, _ = runner(jnp.float32(cfg_guidance), ids_uc, ids_cs, src_batch,
                         sample_keys, sample_keys, k_enc, kwargs)
         if to_uint8:
             img = self._to_uint8(img)
