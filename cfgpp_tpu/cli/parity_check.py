@@ -5,19 +5,21 @@ The build target demands per-step latent MAE < 1e-2 against the reference
 shipped as an executable harness: dump a reference trajectory on any GPU
 box, then run this CLI to compare step-for-step.
 
-Reference dump format (one .npz):
+Reference dump format (one .npz, produced by tools/dump_reference_traj.py
+on any GPU box with the reference repo + diffusers):
   zT          [B,H,W,C]  initial latent, NHWC float32 (torch: NCHW->NHWC)
-  z0t         [n,B,H,W,C] per-step Tweedie estimates
+  z0t         [n,B,H,W,C] per-step Tweedie estimates (reverse pass)
   zt          [n,B,H,W,C] per-step renoised latents
-  prompt      str  (conditioning prompt; null prompt assumed "")
-  null_prompt str
-  cfg_guidance float
-  nfe         int
-  method      str  (solver name)
-  model       str  (sd15 / sdxl)
+  prompt / null_prompt / cfg_guidance / nfe / method / model
+  kind        "t2i" | "inversion" | "edit"
+  src_latent  (inversion/edit) the reference's encoded source latent —
+              injected here to bypass the jax VAE sampling draw
+  src_prompt  (edit) word-swap source prompt
 
-Producing the dump from the reference repo: register a callback that stores
-``callback_kwargs['z0t']/['zt']`` each step and save the initial latent.
+For t2i dumps the reference zT is injected; for inversion/edit dumps the
+jax side re-runs the FULL forward-inversion + reverse pass from the
+reference's src_latent, so inversion-loop divergence surfaces in the
+step-0 MAE of the reverse trajectory.
 
 Usage:
   python -m cfgpp_tpu.cli.parity_check --dump ref_traj.npz --ckpt_dir <weights>
@@ -71,12 +73,25 @@ def main(argv=None):
     engine = DiffusionEngine(bundle, solver=method, nfe=nfe)
 
     res = ref["zT"].shape[1] * bundle.vae_scale_factor
+    kind = str(ref["kind"]) if "kind" in ref else "t2i"
+    kw = {}
+    if kind == "edit":
+        prompt = [str(ref["null_prompt"]), str(ref["src_prompt"]),
+                  str(ref["prompt"])]
+    else:
+        prompt = [str(ref["null_prompt"]), str(ref["prompt"])]
+    if kind in ("inversion", "edit"):
+        kw["src_latent_override"] = ref["src_latent"]
+        # placeholder src_img (the encode it feeds is overridden)
+        kw["src_img"] = np.zeros((1, res, res, 3), np.float32)
+    else:
+        kw["init_latent_override"] = ref["zT"]
     _img, (z0s, zts) = engine.sample(
-        prompt=[str(ref["null_prompt"]), str(ref["prompt"])],
+        prompt=prompt,
         cfg_guidance=w,
         resolution=res,
-        init_latent_override=ref["zT"],
         return_trajectory=True,
+        **kw,
     )
 
     rows, worst = compare_trajectories(z0s, zts, ref["z0t"], ref["zt"])

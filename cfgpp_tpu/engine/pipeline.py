@@ -197,6 +197,7 @@ class DiffusionEngine:
         init_latent_override: Optional[jnp.ndarray] = None,
         return_trajectory: bool = False,
         latent_init: Optional[str] = None,
+        src_latent_override: Optional[jnp.ndarray] = None,
     ) -> np.ndarray:
         """Generate images.  ``prompt`` is [null, cond] (or [null, src, tgt]
         for edit solvers), mirroring the reference CLIs.  Returns float32
@@ -243,6 +244,10 @@ class DiffusionEngine:
             # cross-framework parity harness: inject the exact zT a reference
             # implementation drew, bypassing jax.random
             kwargs["zT_override"] = jnp.asarray(init_latent_override, jnp.float32)
+        if src_latent_override is not None:
+            # parity harness for inversion solvers: inject the reference's
+            # ENCODED latent (its VAE sample draw cannot be replayed in jax)
+            kwargs["z0_override"] = jnp.asarray(src_latent_override, jnp.float32)
         if self.spec.inversion:
             if src_img is None:
                 raise ValueError(f"solver {self.solver_name} needs src_img")
@@ -420,7 +425,8 @@ class DiffusionEngine:
                                        added_uc, added_c, mode=mode)
 
             if spec.inversion:
-                z0 = self._encode(params["vae"], src_img, k_enc)
+                z0 = kwargs["z0_override"] if "z0_override" in kwargs else \
+                    self._encode(params["vae"], src_img, k_enc)
                 if latent_init == "npi":
                     # negative-prompt inversion: c doubles as the null
                     # prompt at w=1, so eps_c == eps_uc and one branch

@@ -52,3 +52,40 @@ def test_compare_trajectories_detects_divergence():
     assert rows[0]["mae_z0t"] == 0.0
     assert rows[1]["mae_z0t"] == pytest.approx(0.5)
     assert worst == pytest.approx(0.5)
+
+
+def test_src_latent_override_inversion(engine):
+    """Injecting the encoded source latent bypasses the VAE sampling draw:
+    two runs with the same injected latent are identical, and match a run
+    whose src_img is ignored entirely (proving the override is in effect)."""
+    eng = DiffusionEngine(engine.bundle, solver="ddim_inversion_cfg++", nfe=2)
+    z0 = np.random.RandomState(2).randn(1, 8, 8, 4).astype(np.float32)
+    imgA = np.random.RandomState(3).uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    imgB = np.random.RandomState(4).uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    a, (z0a, _) = eng.sample(["", "cat"], cfg_guidance=0.6, resolution=32,
+                             src_img=imgA, src_latent_override=z0,
+                             return_trajectory=True)
+    b, (z0b, _) = eng.sample(["", "cat"], cfg_guidance=0.6, resolution=32,
+                             src_img=imgB, src_latent_override=z0,
+                             return_trajectory=True)
+    np.testing.assert_array_equal(z0a, z0b)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_parity_check_cli_handles_kinds(tmp_path, engine):
+    """End-to-end: dumps of all three kinds produced from OUR engine pass
+    the CLI comparison against a re-run (weights loaded via checkpoint save
+    is environmental; here the engine re-runs live)."""
+    from cfgpp_tpu.cli.parity_check import compare_trajectories
+
+    eng = DiffusionEngine(engine.bundle, solver="ddim_edit_cfg++", nfe=2)
+    z0 = np.random.RandomState(5).randn(1, 8, 8, 4).astype(np.float32)
+    dummy = np.zeros((1, 32, 32, 3), np.float32)
+    _, (z0s, zts) = eng.sample(["", "a cat", "a dog"], cfg_guidance=0.6,
+                               resolution=32, src_img=dummy,
+                               src_latent_override=z0, return_trajectory=True)
+    _, (z0s2, zts2) = eng.sample(["", "a cat", "a dog"], cfg_guidance=0.6,
+                                 resolution=32, src_img=dummy,
+                                 src_latent_override=z0, return_trajectory=True)
+    rows, worst = compare_trajectories(z0s, zts, z0s2, zts2)
+    assert worst == 0.0
