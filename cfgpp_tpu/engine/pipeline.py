@@ -415,6 +415,10 @@ class DiffusionEngine:
 
         def core(params, w, ids_uc, ids_cs, src_img, k_init, k_noise, k_enc,
                  kwargs, callback_fn=None):
+            if spec.lightning:
+                # host-validated to be exactly 1.0; use the literal so the
+                # in-solver w==1 assert runs on a concrete value
+                w = 1.0
             uc, cs, pool_uc, pool_cs = embed(params, ids_uc, ids_cs, kwargs)
             # sampling conditioning: edit solvers invert with src (cs[0]) and
             # resample with tgt (cs[-1]); plain solvers use cs[0].

@@ -103,12 +103,22 @@ def _make_body(spec: SolverSpec, plan: SolverPlan, eps_fn, w, noise_key):
 
 
 def _check_guidance(spec: SolverSpec, plan: SolverPlan, cfg_guidance, noise_key):
-    # cfg_guidance may be a traced scalar (one compiled graph serves all
-    # guidance scales); the lightning w==1 assert then happens at the host
-    # boundary where the value is concrete.
-    concrete = isinstance(cfg_guidance, (int, float))
-    if spec.lightning and concrete and cfg_guidance != 1.0:
-        raise ValueError("CFG should be turned off (cfg_guidance=1) in the lightning version")
+    # Lightning distillation is only valid at w==1 (latent_sdxl.py:851): the
+    # assert must actually run, so a traced cfg_guidance is rejected here —
+    # callers pass the (mandatory) concrete 1.0 instead, which also spares
+    # the graph a dead operand.  The engine does exactly that after its own
+    # host-side validation.
+    if spec.lightning:
+        try:
+            val = float(cfg_guidance)
+        except (TypeError, jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError) as err:
+            raise ValueError(
+                "lightning solvers need a concrete cfg_guidance (=1.0) so "
+                "the w==1 assert can run; got a traced value") from err
+        if val != 1.0:
+            raise ValueError(
+                "CFG should be turned off (cfg_guidance=1) in the lightning version")
     if plan.needs_noise and noise_key is None:
         raise ValueError(f"solver {spec.name} is ancestral and needs a noise key")
 
