@@ -1,14 +1,21 @@
-"""Headline benchmark: SDXL 1024x1024 25-NFE throughput on one chip.
+"""Benchmark: all three reference op-points on one chip, one JSON line.
 
-Op-point: DPM++ 2M CFG++ at cfg_guidance 5.0 (BASELINE.md: 'SDXL DPM++ 2M
-CFG++, 1024x1024, 25 NFE'), random-init bf16 weights at the true SDXL
-architecture (2.57B-param UNet, dual text encoders, fp32 VAE decode) — the
-compute graph is identical to a checkpointed run; no weight downloads exist
-in this environment.
+Op-points (BASELINE.md):
+  * sdxl           — SDXL 1024^2 25-NFE dpm++_2m_cfgpp, w=5.0 (headline;
+                     the driver's north star is >= 1 image/sec/chip on v5e)
+  * sd15           — SD-v1.5 512^2 50-NFE ddim_cfg++, lambda=0.6
+                     (reference flagship command, README.md:62)
+  * sdxl_lightning — SDXL-Lightning 1024^2 4-NFE ddim_cfg++_lightning, w=1
+                     (reference published config, README.md:70-74)
 
-Prints ONE JSON line:
-  {"metric": ..., "value": imgs/sec/chip, "unit": ..., "vs_baseline": value/1.0}
-(the driver's north-star target is >= 1 image/sec/chip on v5e).
+Weights are random-init bf16 at the true architectures (2.57B-param SDXL
+UNet, dual text encoders) — the compute graph is identical to a
+checkpointed run; no weight downloads exist in this environment.
+
+Prints ONE JSON line: the headline metric/value/vs_baseline plus an
+``op_points`` map with every op-point's throughput, per-image seconds,
+per-step milliseconds and model FLOP utilization (MFU, exact FLOP count
+from cfgpp_tpu/utils/flops.py over the v5e 197 TF/s bf16 peak).
 """
 
 from __future__ import annotations
@@ -17,14 +24,71 @@ import argparse
 import json
 import time
 
+V5E_PEAK_BF16 = 197e12  # dense bf16 FLOP/s per v5e chip
+
+
+OP_POINTS = {
+    # name: (model, solver, res, nfe, reps, batch, w, family)
+    "sdxl": ("sdxl", "dpm++_2m_cfgpp", 1024, 25, 5, 1, 5.0, "SDXL"),
+    "sd15": ("sd15", "ddim_cfg++", 512, 50, 5, 1, 0.6, "SD-v1.5"),
+    "sdxl_lightning": ("sdxl_lightning", "ddim_cfg++_lightning", 1024, 4,
+                       5, 1, 1.0, "SDXL-Lightning"),
+}
+
+
+def run_op_point(name, jnp, on_tpu):
+    from cfgpp_tpu.engine import DiffusionEngine, ModelBundle
+    from cfgpp_tpu.utils.flops import pipeline_flops
+
+    model, solver, res, nfe, reps, batch, w, family = OP_POINTS[name]
+    dtype = jnp.bfloat16
+    if not on_tpu:  # CPU smoke fallback so the script always runs
+        model, res, nfe, reps, batch = "tiny_sdxl", 64, 4, 2, 2
+        solver, w, family = "dpm++_2m_cfgpp", 5.0, "SDXL"
+        dtype = jnp.float32
+
+    bundle = ModelBundle.random_init(model, dtype=dtype, param_dtype=dtype)
+    engine = DiffusionEngine(bundle, solver=solver, nfe=nfe)
+    prompts = [f"benchmark prompt {i}" for i in range(batch)]
+
+    def one(seed):
+        # batched generation, the same shape the sharded MS-COCO engine
+        # runs per chip; batch 1 measured fastest end-to-end for SDXL on
+        # this chip (batch 2: -1%, batch 4: -17% from HBM pressure)
+        return engine.sample_batch("", prompts, cfg_guidance=w,
+                                   seed=seed, resolution=res, to_uint8=True)
+
+    one(0)  # compile + warmup
+    t0 = time.perf_counter()
+    for i in range(reps):
+        img = one(i + 1)
+    img.sum()  # host sync (sample_batch already materializes to numpy)
+    dt = (time.perf_counter() - t0) / reps
+
+    n_model_steps = nfe - 1 if solver.startswith("dpm++_2m") else nfe
+    flops = pipeline_flops(bundle.config, res, n_model_steps, images=1,
+                           dual_branch=(w not in (0.0, 1.0)))
+    sec_per_img = dt / batch
+    return {
+        "metric": f"{family} {res}x{res} {nfe}-NFE {solver} throughput"
+                  + ("" if on_tpu else " (CPU smoke, tiny model)"),
+        "value": round(batch / dt, 4),
+        "unit": "images/sec/chip",
+        "batch": batch,
+        "reps": reps,
+        "seconds_per_image": round(sec_per_img, 4),
+        "unet_step_ms": round(sec_per_img / n_model_steps * 1000.0, 2),
+        "tflop_per_image": round(flops["total"] / 1e12, 2),
+        "mfu": round(flops["total"] / sec_per_img / V5E_PEAK_BF16, 4)
+               if on_tpu else None,
+    }
+
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--op_point", type=str, default="sdxl",
-                        choices=("sdxl", "sd15", "sdxl_lightning"),
-                        help="sdxl: 1024^2 25-NFE dpm++_2m_cfgpp (headline); "
-                             "sd15: 512^2 50-NFE ddim_cfg++ lambda=0.6; "
-                             "sdxl_lightning: 4-NFE ddim_cfg++_lightning w=1")
+    parser.add_argument("--op_point", type=str, default="all",
+                        choices=("all",) + tuple(OP_POINTS),
+                        help="which op-point(s) to run; default all three")
     args = parser.parse_args()
 
     import jax
@@ -36,66 +100,19 @@ def main():
 
     import jax.numpy as jnp
 
-    from cfgpp_tpu.engine import DiffusionEngine, ModelBundle
-
     on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu:  # CPU smoke fallback so the script always runs
-        model, solver, res, nfe, reps, batch, w = \
-            "tiny_sdxl", "dpm++_2m_cfgpp", 64, 4, 2, 2, 5.0
-        family = "SDXL"
-        dtype = jnp.float32
-    elif args.op_point == "sd15":
-        # reference flagship op-point: README.md:62 (ddim_cfg++, lambda=0.6)
-        model, solver, res, nfe, reps, batch, w = \
-            "sd15", "ddim_cfg++", 512, 50, 3, 1, 0.6
-        family = "SD-v1.5"
-        dtype = jnp.bfloat16
-    elif args.op_point == "sdxl_lightning":
-        # reference published Lightning config (README.md:70-74), random-init
-        # weights at the distilled UNet's architecture
-        model, solver, res, nfe, reps, batch, w = \
-            "sdxl_lightning", "ddim_cfg++_lightning", 1024, 4, 5, 1, 1.0
-        family = "SDXL-Lightning"
-        dtype = jnp.bfloat16
-    else:
-        # batch 1 measured fastest end-to-end on this chip (batch 2: -1%,
-        # batch 4: -17% from HBM pressure); keep the throughput metric
-        # honest by reporting the best per-chip configuration.
-        model, solver, res, nfe, reps, batch, w = \
-            "sdxl", "dpm++_2m_cfgpp", 1024, 25, 3, 1, 5.0
-        family = "SDXL"
-        dtype = jnp.bfloat16
+    names = list(OP_POINTS) if (args.op_point == "all" and on_tpu) \
+        else [args.op_point if args.op_point != "all" else "sdxl"]
 
-    bundle = ModelBundle.random_init(model, dtype=dtype, param_dtype=dtype)
-    engine = DiffusionEngine(bundle, solver=solver, nfe=nfe)
+    results = {}
+    for name in names:
+        results[name] = run_op_point(name, jnp, on_tpu)
 
-    prompts = [f"benchmark prompt {i}" for i in range(batch)]
-
-    def one(seed):
-        # throughput op-point: batched generation, the same shape the
-        # sharded MS-COCO engine runs per chip
-        return engine.sample_batch("", prompts, cfg_guidance=w,
-                                   seed=seed, resolution=res, to_uint8=True)
-
-    one(0)  # compile + warmup
-    t0 = time.perf_counter()
-    for i in range(reps):
-        img = one(i + 1)
-    img.sum()  # host sync (sample_batch already materializes to numpy)
-    dt = (time.perf_counter() - t0) / reps
-
-    value = batch / dt
-    n_model_steps = nfe - 1 if solver.startswith("dpm++_2m") else nfe
-    print(json.dumps({
-        "metric": f"{family} {res}x{res} {nfe}-NFE {solver} throughput"
-                  + ("" if on_tpu else " (CPU smoke, tiny model)"),
-        "value": round(value, 4),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(value / 1.0, 4),
-        "batch": batch,
-        "seconds_per_image": round(dt / batch, 4),
-        "unet_step_ms": round(dt / batch / n_model_steps * 1000.0, 2),
-    }))
+    head = results.get("sdxl", next(iter(results.values())))
+    line = dict(head)
+    line["vs_baseline"] = round(head["value"] / 1.0, 4)
+    line["op_points"] = results
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
