@@ -29,10 +29,15 @@ V5E_PEAK_BF16 = 197e12  # dense bf16 FLOP/s per v5e chip
 
 OP_POINTS = {
     # name: (model, solver, res, nfe, reps, batch, w, family)
-    "sdxl": ("sdxl", "dpm++_2m_cfgpp", 1024, 25, 5, 1, 5.0, "SDXL"),
-    "sd15": ("sd15", "ddim_cfg++", 512, 50, 5, 1, 0.6, "SD-v1.5"),
+    # sdxl batch=4 measured fastest per chip (sweep on v5e: b1 0.324,
+    # b2 0.300, b4 0.371, b6 0.341, b8 0.351 img/s) — big enough to tile
+    # the MXU well, small enough to stay out of HBM pressure
+    "sdxl": ("sdxl", "dpm++_2m_cfgpp", 1024, 25, 3, 4, 5.0, "SDXL"),
+    # sd15 b4 1.175 img/s vs b1 0.90, b8 1.185 (flat); lightning b4 1.53
+    # vs b1 1.22 — batch 4 across the board
+    "sd15": ("sd15", "ddim_cfg++", 512, 50, 5, 4, 0.6, "SD-v1.5"),
     "sdxl_lightning": ("sdxl_lightning", "ddim_cfg++_lightning", 1024, 4,
-                       5, 1, 1.0, "SDXL-Lightning"),
+                       5, 4, 1.0, "SDXL-Lightning"),
 }
 
 
@@ -53,8 +58,7 @@ def run_op_point(name, jnp, on_tpu):
 
     def one(seed):
         # batched generation, the same shape the sharded MS-COCO engine
-        # runs per chip; batch 1 measured fastest end-to-end for SDXL on
-        # this chip (batch 2: -1%, batch 4: -17% from HBM pressure)
+        # runs per chip
         return engine.sample_batch("", prompts, cfg_guidance=w,
                                    seed=seed, resolution=res, to_uint8=True)
 
