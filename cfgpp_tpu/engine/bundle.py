@@ -111,16 +111,21 @@ class ModelBundle:
                    text_encoder=text, text_params=text_params, tokenizer=tok,
                    text_encoder_2=text2, text_params_2=text_params_2, tokenizer_2=tok2)
 
-    def quantized(self) -> "ModelBundle":
+    def quantized(self, mode: str = "dense") -> "ModelBundle":
         """Opt-in int8 W8A8 UNet (see models/quant.py): returns a new bundle
-        whose UNet runs transformer projections on the 394-TOPS int8 MXU
-        path.  Numerics differ from the exact bf16 path — never the default."""
+        whose UNet runs transformer projections through the fused Pallas
+        int8 kernel (kernels/int8_matmul.py).  ``mode="dense"`` (default)
+        keeps convs bf16 — XLA's int8-conv lowering measured slower than
+        bf16 in-context; ``mode="all"`` additionally quantizes resnet
+        convs.  Numerics differ from the exact bf16 path — never the
+        default."""
         from cfgpp_tpu.weights.quantize import quantize_unet_params
         unet_q = UNet2DConditionModel(self.config.unet, dtype=self.unet.dtype,
                                       param_dtype=self.unet.param_dtype,
-                                      quant=True)
+                                      quant=(True if mode == "all" else mode))
         return dataclasses.replace(
-            self, unet=unet_q, unet_params=quantize_unet_params(self.unet_params))
+            self, unet=unet_q,
+            unet_params=quantize_unet_params(self.unet_params, mode=mode))
 
     @classmethod
     def from_pretrained(cls, checkpoint_dir: str, config_or_name,

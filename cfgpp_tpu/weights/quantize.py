@@ -31,14 +31,20 @@ QUANT_LAYER_NAMES = frozenset({
 QUANT_CONV_NAMES = frozenset({"conv1", "conv2", "conv_shortcut", "conv"})
 
 
-def quantize_unet_params(params: Any) -> Any:
+def quantize_unet_params(params: Any, mode: str = "all") -> Any:
     """bf16 UNet params -> mixed tree with int8 QuantDense/QuantConv leaves.
 
-    ``proj_in``/``proj_out`` are only quantized when they are true Dense
-    layers (2-D kernels, use_linear_projection=True); the SD-1.5 1x1-conv
-    variant (4-D kernels) passes through untouched.
+    ``mode="all"`` quantizes transformer projections and resnet convs;
+    ``mode="dense"`` quantizes only the projections (convs stay bf16 —
+    XLA's int8-conv lowering measured slower than bf16 in-context, while
+    the Pallas int8 dense path wins).  ``proj_in``/``proj_out`` are only
+    quantized when they are true Dense layers (2-D kernels,
+    use_linear_projection=True); the SD-1.5 1x1-conv variant (4-D kernels)
+    passes through untouched.
     """
     from cfgpp_tpu.models.quant import quantize_conv_kernel_int8
+
+    conv_names = QUANT_CONV_NAMES if mode == "all" else frozenset()
 
     def walk(tree, name):
         if isinstance(tree, Mapping):
@@ -46,7 +52,7 @@ def quantize_unet_params(params: Any) -> Any:
             ndim = getattr(kernel, "ndim", 0)
             if kernel is not None and (
                     (name in QUANT_LAYER_NAMES and ndim == 2)
-                    or (name in QUANT_CONV_NAMES and ndim == 4)):
+                    or (name in conv_names and ndim == 4)):
                 quant = (quantize_kernel_int8 if ndim == 2
                          else quantize_conv_kernel_int8)
                 kq, scale = quant(kernel)

@@ -1,0 +1,55 @@
+"""Pallas W8A8 int8 matmul kernel tests (interpreter mode on CPU).
+
+The kernel must reproduce models/quant.py's QuantDense recipe exactly:
+per-row dynamic activation absmax, symmetric int8, int32 accumulation,
+rank-1 dequant, f32 bias.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfgpp_tpu.kernels.int8_matmul import int8_matmul
+from cfgpp_tpu.models.quant import (quantize_activation_int8,
+                                    quantize_kernel_int8)
+
+
+def xla_ref(x, wq, ws, bias=None):
+    xq, sx = quantize_activation_int8(x)
+    acc = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * ws
+    if bias is not None:
+        y = y + bias
+    return y.astype(jnp.bfloat16)
+
+
+@pytest.mark.parametrize("m,k,n,bias", [
+    (64, 320, 512, True),
+    (100, 1280, 1024, True),    # ragged M -> padded row blocks
+    (64, 640, 512, False),
+    (8, 2560, 1280, True),      # deep K
+])
+def test_int8_matmul_matches_quantdense_recipe(m, k, n, bias):
+    rng = np.random.default_rng(m + n)
+    x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.float32)
+    wq, ws = quantize_kernel_int8(rng.normal(0, 0.05, (k, n)).astype(np.float32))
+    wq, ws = jnp.asarray(wq), jnp.asarray(ws)
+    b = jnp.asarray(rng.normal(0, 0.1, (n,)), jnp.float32) if bias else None
+    ref = xla_ref(x, wq, ws, b)
+    got = int8_matmul(x, wq, ws, b, interpret=True)
+    assert got.dtype == jnp.bfloat16 and got.shape == (m, n)
+    e = np.abs(np.asarray(got, np.float32) - np.asarray(ref, np.float32))
+    assert e.max() / np.abs(np.asarray(ref, np.float32)).max() < 0.02
+
+
+def test_int8_matmul_batched_leading_dims():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 320)), jnp.bfloat16)
+    wq, ws = quantize_kernel_int8(rng.normal(0, 0.05, (320, 256)).astype(np.float32))
+    got = int8_matmul(x, jnp.asarray(wq), jnp.asarray(ws), interpret=True)
+    ref = xla_ref(x.reshape(64, 320), jnp.asarray(wq), jnp.asarray(ws))
+    assert got.shape == (2, 32, 256)
+    e = np.abs(np.asarray(got, np.float32).reshape(64, 256) - np.asarray(ref, np.float32))
+    assert e.max() / np.abs(np.asarray(ref, np.float32)).max() < 0.02
