@@ -28,31 +28,41 @@ V5E_PEAK_BF16 = 197e12  # dense bf16 FLOP/s per v5e chip
 
 
 OP_POINTS = {
-    # name: (model, solver, res, nfe, reps, batch, w, family)
+    # name: (model, solver, res, nfe, reps, batch, w, family, quant)
     # sdxl batch=4 measured fastest per chip (sweep on v5e: b1 0.324,
     # b2 0.300, b4 0.371, b6 0.341, b8 0.351 img/s) — big enough to tile
     # the MXU well, small enough to stay out of HBM pressure
-    "sdxl": ("sdxl", "dpm++_2m_cfgpp", 1024, 25, 3, 4, 5.0, "SDXL"),
+    "sdxl": ("sdxl", "dpm++_2m_cfgpp", 1024, 25, 3, 4, 5.0, "SDXL", False),
+    # opt-in int8 W8A8 (Pallas fused matmul, dense-only): NOT the exact
+    # path — numerics differ from bf16; reported separately.  Runs right
+    # after sdxl to share its base bundle (HBM holds one base at a time)
+    "sdxl_int8": ("sdxl", "dpm++_2m_cfgpp", 1024, 25, 3, 4, 5.0,
+                  "SDXL-int8-W8A8", True),
     # sd15 b4 1.175 img/s vs b1 0.90, b8 1.185 (flat); lightning b4 1.53
     # vs b1 1.22 — batch 4 across the board
-    "sd15": ("sd15", "ddim_cfg++", 512, 50, 5, 4, 0.6, "SD-v1.5"),
+    "sd15": ("sd15", "ddim_cfg++", 512, 50, 5, 4, 0.6, "SD-v1.5", False),
     "sdxl_lightning": ("sdxl_lightning", "ddim_cfg++_lightning", 1024, 4,
-                       5, 4, 1.0, "SDXL-Lightning"),
+                       5, 4, 1.0, "SDXL-Lightning", False),
 }
 
 
-def run_op_point(name, jnp, on_tpu):
+def run_op_point(name, jnp, on_tpu, bundle_cache):
     from cfgpp_tpu.engine import DiffusionEngine, ModelBundle
     from cfgpp_tpu.utils.flops import pipeline_flops
 
-    model, solver, res, nfe, reps, batch, w, family = OP_POINTS[name]
+    model, solver, res, nfe, reps, batch, w, family, quant = OP_POINTS[name]
     dtype = jnp.bfloat16
     if not on_tpu:  # CPU smoke fallback so the script always runs
         model, res, nfe, reps, batch = "tiny_sdxl", 64, 4, 2, 2
-        solver, w, family = "dpm++_2m_cfgpp", 5.0, "SDXL"
+        solver, w, family, quant = "dpm++_2m_cfgpp", 5.0, "SDXL", False
         dtype = jnp.float32
 
-    bundle = ModelBundle.random_init(model, dtype=dtype, param_dtype=dtype)
+    if model not in bundle_cache:
+        bundle_cache[model] = ModelBundle.random_init(model, dtype=dtype,
+                                                      param_dtype=dtype)
+    bundle = bundle_cache[model]
+    if quant:
+        bundle = bundle.quantized()
     engine = DiffusionEngine(bundle, solver=solver, nfe=nfe)
     prompts = [f"benchmark prompt {i}" for i in range(batch)]
 
@@ -109,8 +119,11 @@ def main():
         else [args.op_point if args.op_point != "all" else "sdxl"]
 
     results = {}
+    bundle_cache = {}
     for name in names:
-        results[name] = run_op_point(name, jnp, on_tpu)
+        if OP_POINTS[name][0] not in bundle_cache:
+            bundle_cache.clear()     # one base model resident at a time
+        results[name] = run_op_point(name, jnp, on_tpu, bundle_cache)
 
     head = results.get("sdxl", next(iter(results.values())))
     line = dict(head)
