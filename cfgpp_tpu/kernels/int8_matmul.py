@@ -22,6 +22,14 @@ projection in the model zoo), so activation scales are exact per-row
 absmax — numerically identical to `models/quant.py`'s XLA recipe
 (verified in tests/test_int8_matmul.py).  Weights are per-output-channel
 symmetric int8, quantized offline.
+
+Measured v5e rates vs the XLA bf16 dot (batch-4 SDXL shapes):
+GEGLU [8192,1280]x[1280,10240] 312 vs 175 TF/s (1.78x); fused-qkv
+[8192,1280,3840] 251 vs 183 (1.37x); level-1 GEGLU [32768,640,5120]
+219 vs 161 (1.36x); deep-K ff-out [8192,5120,1280] 184 vs 186 (parity —
+the whole-K x block caps bm at 256; a k-blocked variant with per-k-block
+scales and f32 accumulation was built and measured SLOWER, 140-142 TF/s,
+so whole-K stands for every K).
 """
 
 from __future__ import annotations

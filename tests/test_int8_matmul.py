@@ -53,3 +53,19 @@ def test_int8_matmul_batched_leading_dims():
     assert got.shape == (2, 32, 256)
     e = np.abs(np.asarray(got, np.float32).reshape(64, 256) - np.asarray(ref, np.float32))
     assert e.max() / np.abs(np.asarray(ref, np.float32)).max() < 0.02
+
+
+def test_int8_matmul_deep_k():
+    """Deep-K (ff-out class, K=5120): VMEM forces small row blocks but the
+    whole-K path must stay exact vs the f32 matmul and the W8A8 recipe."""
+    rng = np.random.default_rng(7)
+    m, k, n = 64, 5120, 256
+    x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.float32)
+    w = rng.normal(0, 0.05, (k, n)).astype(np.float32)
+    wq, ws = quantize_kernel_int8(jnp.asarray(w))
+    got = int8_matmul(x, wq, ws, interpret=True)
+    exact = np.asarray(x, np.float32) @ w
+    ref = np.asarray(xla_ref(x, wq, ws), np.float32)
+    scale = np.abs(exact).max()
+    assert np.abs(np.asarray(got, np.float32) - exact).max() / scale < 0.02
+    assert np.abs(np.asarray(got, np.float32) - ref).max() / scale < 0.02
