@@ -44,6 +44,14 @@ def add_common_args(parser: argparse.ArgumentParser, default_method: str = "ddim
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of the run into "
                              "this directory (view with xprof/TensorBoard)")
+    parser.add_argument("--quant", type=str, default=None,
+                        choices=("dense", "all"),
+                        help="opt-in int8 W8A8 UNet (numerics differ from "
+                             "the exact bf16 path): 'dense' quantizes the "
+                             "transformer projections through the fused "
+                             "Pallas int8 matmul (the configuration that "
+                             "beats bf16 end-to-end on v5e), 'all' also "
+                             "quantizes resnet convs")
 
 
 def maybe_profile(args):
@@ -69,4 +77,6 @@ def build_engine(args, nfe: Optional[int] = None) -> DiffusionEngine:
     else:
         bundle = ModelBundle.random_init(args.model, seed=0, dtype=dtype,
                                          param_dtype=dtype)
+    if getattr(args, "quant", None):
+        bundle = bundle.quantized(mode=args.quant)
     return DiffusionEngine(bundle, solver=args.method, nfe=nfe or args.NFE)
