@@ -80,8 +80,12 @@ def run_op_point(name, jnp, on_tpu, bundle_cache):
     dt = (time.perf_counter() - t0) / reps
 
     n_model_steps = nfe - 1 if solver.startswith("dpm++_2m") else nfe
+    # CFG++ needs the true unconditional eps even at w=1 (the lightning
+    # op-point runs dual-branch); only plain-CFG w=1 / any w=0 is single
+    from cfgpp_tpu.engine.pipeline import _needs_branches
+    dual = all(_needs_branches(engine.spec.cfgpp, w))
     flops = pipeline_flops(bundle.config, res, n_model_steps, images=1,
-                           dual_branch=(w not in (0.0, 1.0)))
+                           dual_branch=dual)
     sec_per_img = dt / batch
     return {
         "metric": f"{family} {res}x{res} {nfe}-NFE {solver} throughput"

@@ -99,6 +99,10 @@ def main(argv=None):
     parser.add_argument("--prompts", type=Path, default=None,
                         help="text file, one prompt per line aligned with "
                              "sorted --input_dir images; enables CLIP-score")
+    parser.add_argument("--tokenizer_dir", type=str, default=None,
+                        help="directory with the real CLIP vocab.json + "
+                             "merges.txt (or set $CFGPP_TOKENIZER_DIR); "
+                             "required for CLIP-score")
     parser.add_argument("--vgg_ckpt", type=str, default=None,
                         help="torchvision VGG16 state dict (LPIPS trunk)")
     parser.add_argument("--lpips_ckpt", type=str, default=None,
@@ -121,10 +125,12 @@ def main(argv=None):
         logger.info("FID skipped: pass --inception_ckpt (pytorch-fid "
                     "pt_inception-2015-12-05 state dict)")
 
+    input_clip_feats = None
     if args.clip_ckpt:
-        a = clip_features(_list_images(args.input_dir), args.clip_ckpt)
+        input_clip_feats = clip_features(_list_images(args.input_dir),
+                                         args.clip_ckpt)
         b = clip_features(_list_images(args.label_dir), args.clip_ckpt)
-        results["clip_fid"] = fid_from_features(a, b)
+        results["clip_fid"] = fid_from_features(input_clip_feats, b)
     else:
         results["clip_fid"] = None
         logger.info("CLIP-FID skipped: pass --clip_ckpt with CLIP weights")
@@ -138,8 +144,11 @@ def main(argv=None):
         if len(prompts) != len(imgs):
             logger.warning("%d prompts vs %d images; scoring first %d",
                            len(prompts), len(imgs), n)
-        t = clip_text_features(prompts[:n], args.clip_ckpt)
-        v = clip_features(imgs[:n], args.clip_ckpt)
+        t = clip_text_features(prompts[:n], args.clip_ckpt,
+                               tokenizer_dir=args.tokenizer_dir)
+        # image embeddings already computed for CLIP-FID: reuse, don't
+        # re-run the vision tower over the same files
+        v = input_clip_feats[:n]
         results["clip_score"] = clip_score_from_features(t, v)
     else:
         results["clip_score"] = None

@@ -167,10 +167,20 @@ class DiffusionEngine:
         return one(z)
 
     def _encode(self, vae_params, img, key):
+        """VAE encode + reparameterized draw.  ``key`` may be per-sample
+        keys [B, 2]: each image's noise then depends only on its own key,
+        keeping batched inversion identical across batch sizes/shardings
+        (the same contract init/ancestral noise follow)."""
         scale = self.bundle.config.vae.scaling_factor
-        z = self.bundle.vae.apply(vae_params, img.astype(jnp.float32), key,
-                                  method=self.bundle.vae.sample_latent)
-        return z * scale
+        mean, logvar = self.bundle.vae.apply(vae_params, img.astype(jnp.float32),
+                                             method=self.bundle.vae.encode)
+        std = jnp.exp(0.5 * logvar)
+        if key.ndim == 2:
+            noise = jax.vmap(lambda k, m: jax.random.normal(k, m.shape, m.dtype))(
+                key, mean)
+        else:
+            noise = jax.random.normal(key, mean.shape, mean.dtype)
+        return (mean + std * noise) * scale
 
     def decode_fn(self) -> Callable:
         """Host-callable jitted decoder (the `decode` passed to callbacks).
@@ -371,9 +381,10 @@ class DiffusionEngine:
             mode=_needs_branches(self.spec.cfgpp, float(cfg_guidance)),
             batch=batch, res=res, n_cond=len(ids_cs), with_traj=False,
             unrolled=False)
-        k_enc = jax.random.PRNGKey(seed)
+        # per-sample keys for the encode draw too: batched inversion stays
+        # identical across batch sizes / shardings
         img, _ = runner(jnp.float32(cfg_guidance), ids_uc, ids_cs, src_batch,
-                        sample_keys, sample_keys, k_enc, kwargs)
+                        sample_keys, sample_keys, sample_keys, kwargs)
         if to_uint8:
             img = self._to_uint8(img)
         return np.asarray(img) if as_numpy else img
@@ -429,8 +440,11 @@ class DiffusionEngine:
                                        added_uc, added_c, mode=mode)
 
             if spec.inversion:
+                enc_key = k_enc
+                if k_enc.ndim == 2:   # per-sample keys: tag 2 (init=0, noise=1)
+                    enc_key = jax.vmap(lambda k: jax.random.fold_in(k, 2))(k_enc)
                 z0 = kwargs["z0_override"] if "z0_override" in kwargs else \
-                    self._encode(params["vae"], src_img, k_enc)
+                    self._encode(params["vae"], src_img, enc_key)
                 if latent_init == "npi":
                     # negative-prompt inversion: c doubles as the null
                     # prompt at w=1, so eps_c == eps_uc and one branch

@@ -47,9 +47,7 @@ LOG2E = 1.4426950408889634
 # Pallas double-buffers HBM blocks, so leave generous headroom.
 _VMEM_BUDGET = 13 * 1024 * 1024
 
-
-def _cdiv(a: int, b: int) -> int:
-    return (a + b - 1) // b
+from cfgpp_tpu.kernels.common import cdiv as _cdiv  # noqa: E402
 
 
 def _kernel_single(q_ref, k_ref, v_ref, o_ref, *, kv_len, bkv, d, hpb):
@@ -114,7 +112,7 @@ def _kernel_multi(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s,
             ).astype(o_ref.dtype)
 
 
-def heads_per_block(num_heads: int, d: int, hd: int) -> int:
+def heads_per_block(num_heads: int, d: int) -> int:
     """How many heads one grid step covers.  The channel block must be a
     multiple of 128 lanes or span the full channel dim (Mosaic tiling rule)."""
     if d % 128 == 0:
@@ -168,7 +166,7 @@ def flash_attention_hd(
     d = hd // num_heads
     if hd % num_heads:
         raise ValueError(f"channel dim {hd} not divisible by {num_heads} heads")
-    hpb = heads_per_block(num_heads, d, hd)
+    hpb = heads_per_block(num_heads, d)
     ld = hpb * d
 
     # fold the softmax scale and the exp->exp2 base change into q; this is a

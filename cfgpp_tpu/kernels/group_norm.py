@@ -46,18 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Row-block target size (bytes of one input block).  Small enough to leave
-# VMEM headroom for double buffering plus the f32 normalize intermediates
-# (~2x the bf16 block on the stack), big enough to amortize grid overhead.
-_BLOCK_BYTES = 1024 * 1024
-
-
-def _pick_rows(n: int, c: int, itemsize: int) -> int:
-    """Largest power-of-two row count dividing n with block <= _BLOCK_BYTES."""
-    bn = 8
-    while bn * 2 <= n and n % (bn * 2) == 0 and bn * 2 * c * itemsize <= _BLOCK_BYTES:
-        bn *= 2
-    return bn
+from cfgpp_tpu.kernels.common import pick_row_block as _pick_rows
 
 
 def _read_x(x_ref, t_ref):

@@ -41,9 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _cdiv(a: int, b: int) -> int:
-    return (a + b - 1) // b
+from cfgpp_tpu.kernels.common import cdiv as _cdiv
 
 
 def _kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, xq_s, sx_s, *, use_bias: bool):

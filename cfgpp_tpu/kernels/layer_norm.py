@@ -37,14 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_BYTES = 1024 * 1024
-
-
-def _pick_rows(n: int, c: int, itemsize: int) -> int:
-    bn = 8
-    while bn * 2 <= n and n % (bn * 2) == 0 and bn * 2 * c * itemsize <= _BLOCK_BYTES:
-        bn *= 2
-    return bn
+from cfgpp_tpu.kernels.common import pick_row_block as _pick_rows
 
 
 def _ln_stats_kernel(x_ref, o_ref, *, eps: float):

@@ -14,37 +14,51 @@ checkpoint, both projections.
 
 from __future__ import annotations
 
-from typing import Sequence
+import functools
+from typing import Optional, Sequence
 
 import numpy as np
 
 
+@functools.lru_cache(maxsize=1)
 def _load_state(path: str):
-    if path.endswith(".safetensors"):
-        from safetensors.numpy import load_file
-        return load_file(path)
-    import torch
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    return {k: v.numpy() for k, v in sd.items()}
+    """One checkpoint load per process: the CLI touches the CLIP weights
+    for CLIP-FID, CLIP-score images AND text (shared loader with the
+    Inception tower)."""
+    from cfgpp_tpu.metrics.inception import _load_state_dict
+    return _load_state_dict(path)
 
 
 def clip_text_features(prompts: Sequence[str], clip_ckpt: str,
+                       tokenizer_dir: Optional[str] = None,
                        batch: int = 256) -> np.ndarray:
-    """Prompts -> [N, projection_dim] L2-normalized text embeddings."""
+    """Prompts -> [N, projection_dim] L2-normalized text embeddings.
+
+    Requires a REAL CLIP tokenizer (``tokenizer_dir`` or
+    $CFGPP_TOKENIZER_DIR with vocab.json + merges.txt): with real weights,
+    the hash-fallback tokenizer would produce numerically plausible but
+    meaningless scores, so it is rejected here."""
     import jax
     import jax.numpy as jnp
 
     from cfgpp_tpu.configs import CLIPTextConfig
     from cfgpp_tpu.models.clip import CLIPTextModel
     from cfgpp_tpu.weights.convert import convert_clip_text
-    from cfgpp_tpu.weights.tokenizer import load_tokenizer
+    from cfgpp_tpu.weights.tokenizer import HashTokenizer, load_tokenizer
 
     state = _load_state(clip_ckpt)
     cfg = CLIPTextConfig(projection_dim=768)
     model = CLIPTextModel(cfg)
     params = convert_clip_text(state)
-    tok = load_tokenizer(None, vocab_size=cfg.vocab_size,
+    tok = load_tokenizer(tokenizer_dir, vocab_size=cfg.vocab_size,
                          eos_token_id=cfg.eos_token_id)
+    if isinstance(tok, HashTokenizer):
+        raise ValueError(
+            "CLIP-score needs the real CLIP BPE tokenizer: pass "
+            "tokenizer_dir (or set $CFGPP_TOKENIZER_DIR) pointing at "
+            "vocab.json + merges.txt.  Refusing the hash-fallback "
+            "tokenizer, which would silently produce meaningless scores "
+            "against real checkpoint weights.")
     apply = jax.jit(lambda ids: model.apply(params, ids).pooled_output)
     feats = []
     for i in range(0, len(prompts), batch):
@@ -56,7 +70,11 @@ def clip_text_features(prompts: Sequence[str], clip_ckpt: str,
 
 def clip_image_features(paths: Sequence[str], clip_ckpt: str,
                         batch: int = 64) -> np.ndarray:
-    """Image files -> [N, projection_dim] L2-normalized image embeddings."""
+    """Image files -> [N, projection_dim] L2-normalized image embeddings.
+
+    Each image is resized to 224x224 on the host before stacking, so
+    directories of heterogeneous sizes (e.g. raw MS-COCO references) work.
+    """
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -69,11 +87,16 @@ def clip_image_features(paths: Sequence[str], clip_ckpt: str,
     model = CLIPVisionModel(CLIPVisionConfig())
     params = convert_clip_vision(state)
     apply = jax.jit(lambda px: model.apply(params, px))
+
+    def load224(p):
+        im = Image.open(p).convert("RGB")
+        if im.size != (224, 224):
+            im = im.resize((224, 224), Image.BICUBIC)
+        return np.asarray(im, np.float32) / 255.0
+
     feats = []
     for i in range(0, len(paths), batch):
-        imgs = np.stack([
-            np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
-            for p in paths[i:i + batch]])
+        imgs = np.stack([load224(p) for p in paths[i:i + batch]])
         feats.append(np.asarray(apply(preprocess_for_clip(jnp.asarray(imgs)))))
     out = np.concatenate(feats)
     return out / np.linalg.norm(out, axis=-1, keepdims=True)
@@ -90,10 +113,10 @@ def clip_score_from_features(text_feats: np.ndarray,
 
 
 def clip_score(prompts: Sequence[str], image_paths: Sequence[str],
-               clip_ckpt: str) -> float:
+               clip_ckpt: str, tokenizer_dir: Optional[str] = None) -> float:
     if len(prompts) != len(image_paths):
         raise ValueError(
             f"{len(prompts)} prompts vs {len(image_paths)} images")
-    t = clip_text_features(prompts, clip_ckpt)
+    t = clip_text_features(prompts, clip_ckpt, tokenizer_dir=tokenizer_dir)
     v = clip_image_features(image_paths, clip_ckpt)
     return clip_score_from_features(t, v)

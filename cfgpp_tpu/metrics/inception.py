@@ -211,18 +211,44 @@ def convert_inception(state: Mapping[str, np.ndarray]) -> Dict:
 
 def inception_features(paths, ckpt_path: str, batch: int = 50) -> np.ndarray:
     """Image files -> [N, 2048] FID features (weights from a .pth/.safetensors
-    pytorch-fid state dict)."""
+    pytorch-fid state dict).
+
+    Uniform-size directories go through the model's own bilinear resize
+    (bit-parity with pytorch-fid's F.interpolate, see
+    test_inception_resize_matches_torch_interpolate).  Heterogeneous
+    directories (e.g. raw MS-COCO references — which crash pytorch-fid's
+    own batched loader) are host-resized per image to 299 with PIL
+    bilinear first; the kernel difference is logged since resize choice
+    can shift FID slightly."""
     state = _load_state_dict(ckpt_path)
     model = InceptionV3Features()
     params = convert_inception(state)
     apply = jax.jit(lambda px: model.apply(params, px))
 
     from PIL import Image
+    sizes = set()
+    for p in paths:
+        with Image.open(p) as im:
+            sizes.add(im.size)
+        if len(sizes) > 1:
+            break
+    uniform = len(sizes) <= 1
+    if not uniform:
+        import logging
+        logging.getLogger("cfgpp_tpu.metrics").warning(
+            "mixed image sizes in FID input: host PIL-bilinear resize to "
+            "299 replaces the in-model tensor resize for this directory "
+            "(pytorch-fid's own loader cannot batch mixed sizes)")
+
+    def load(p):
+        im = Image.open(p).convert("RGB")
+        if not uniform and im.size != (299, 299):
+            im = im.resize((299, 299), Image.BILINEAR)
+        return np.asarray(im, np.float32) / 255.0
+
     feats = []
     for i in range(0, len(paths), batch):
-        imgs = np.stack([
-            np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
-            for p in paths[i:i + batch]])
+        imgs = np.stack([load(p) for p in paths[i:i + batch]])
         feats.append(np.asarray(apply(jnp.asarray(imgs))))
     return np.concatenate(feats)
 

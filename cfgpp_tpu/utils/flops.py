@@ -121,7 +121,7 @@ def vae_decode_flops(cfg: VAEConfig, latent_hw: int, batch: int = 1) -> float:
         conv(hw, hw, rev[0], rev[0])
         conv(hw, hw, rev[0], rev[0])
     n = hw * hw
-    total += 4.0 * batch * n * rev[0] * rev[0]          # qkv+out projections
+    total += 2.0 * batch * n * rev[0] * rev[0] * 4      # q/k/v/out projections
     total += 2.0 * batch * n * n * rev[0] * 2           # QK^T + PV
     x_ch = rev[0]
     for i, c in enumerate(rev):

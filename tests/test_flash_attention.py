@@ -51,11 +51,11 @@ def test_flash_head_packing_modes(h, d):
 
 
 def test_heads_per_block_rules():
-    assert heads_per_block(20, 64, 1280) == 2    # 128-lane pair
-    assert heads_per_block(10, 64, 640) == 2
-    assert heads_per_block(1, 512, 512) == 1     # d already lane-aligned
-    assert heads_per_block(8, 40, 320) == 8      # full channel row
-    assert heads_per_block(8, 160, 1280) == 8    # full channel row
+    assert heads_per_block(20, 64) == 2    # 128-lane pair
+    assert heads_per_block(10, 64) == 2
+    assert heads_per_block(1, 512) == 1     # d already lane-aligned
+    assert heads_per_block(8, 40) == 8      # full channel row
+    assert heads_per_block(8, 160) == 8    # full channel row
 
 
 def test_flash_bf16():

@@ -100,3 +100,20 @@ def test_sample_batch_sharded_device_placement(engine):
     img = engine.sample_batch("", prompts, cfg_guidance=0.6, seed=1,
                               resolution=16, mesh=mesh, as_numpy=False)
     assert len(img.sharding.device_set) == 8
+
+
+def test_batched_inversion_rng_independent_of_batch(engine):
+    """Reconstruction of image i must be identical whether it rides in a
+    batch of 4 or alone: the VAE-encode noise draw is keyed per global
+    sample index (fold_in tag 2), like init (0) and ancestral (1) noise."""
+    eng = DiffusionEngine(engine.bundle, solver="ddim_inversion_cfg++", nfe=2)
+    rng = np.random.default_rng(2)
+    srcs = rng.uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32)
+    prompts = [f"p{i}" for i in range(4)]
+    batch = eng.sample_batch("", prompts, cfg_guidance=1.0, seed=9,
+                             resolution=16, src_imgs=srcs,
+                             sample_indices=[0, 1, 2, 3])
+    solo = eng.sample_batch("", [prompts[1]], cfg_guidance=1.0, seed=9,
+                            resolution=16, src_imgs=srcs[1:2],
+                            sample_indices=[1])
+    np.testing.assert_allclose(batch[1], solo[0], atol=1e-5)
