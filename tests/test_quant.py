@@ -158,3 +158,32 @@ def test_quant_conv_strided_matches():
     assert out.shape == ref.shape
     rel = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
     assert rel < 0.03, rel
+
+
+def test_quantized_dense_mode_keeps_convs_bf16():
+    """mode='dense' (the default, and the config that wins end-to-end on
+    v5e) quantizes transformer projections but leaves resnet convs bf16."""
+    import jax.numpy as jnp
+    from cfgpp_tpu.engine import ModelBundle
+
+    bundle = ModelBundle.random_init("tiny_sdxl", dtype=jnp.float32,
+                                     param_dtype=jnp.float32)
+    qb = bundle.quantized(mode="dense")
+    assert qb.unet.quant == "dense"
+
+    def walk(tree, name, path=()):
+        if isinstance(tree, dict):
+            k = tree.get("kernel")
+            if k is not None:
+                yield name, k
+            for key, v in tree.items():
+                yield from walk(v, key, path + (key,))
+    kinds = {}
+    for name, k in walk(qb.unet_params["params"], ""):
+        kinds.setdefault(name, set()).add((k.ndim, k.dtype.name))
+    # transformer projections went int8
+    assert kinds["to_q"] == {(2, "int8")}
+    assert kinds["net_0_proj"] == {(2, "int8")}
+    # resnet convs stayed floating point
+    assert all(d != "int8" for _, d in kinds["conv1"])
+    assert all(d != "int8" for _, d in kinds["conv2"])
