@@ -50,6 +50,17 @@ class ModelBundle:
     def vae_scale_factor(self) -> int:
         return self.config.vae.scale_factor
 
+    @property
+    def vae_encode(self) -> AutoencoderKL:
+        """fp32-compute VAE module for the ENCODE direction (same params).
+
+        Only decode was the measured 92->83 ms bf16 win; encode feeds
+        inversion source latents, where bf16 rounding would spend part of
+        the <1e-2 per-step parity MAE budget for no wall-clock benefit
+        (encode is off the hot path)."""
+        return AutoencoderKL(self.config.vae, dtype=jnp.float32,
+                             param_dtype=jnp.float32)
+
     def params(self):
         return {
             "unet": self.unet_params,

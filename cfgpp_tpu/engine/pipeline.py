@@ -172,8 +172,10 @@ class DiffusionEngine:
         keeping batched inversion identical across batch sizes/shardings
         (the same contract init/ancestral noise follow)."""
         scale = self.bundle.config.vae.scaling_factor
-        mean, logvar = self.bundle.vae.apply(vae_params, img.astype(jnp.float32),
-                                             method=self.bundle.vae.encode)
+        vae32 = self.bundle.vae_encode  # fp32 compute: encode is off the hot
+        # path and feeds the parity-sensitive inversion source latents
+        mean, logvar = vae32.apply(vae_params, img.astype(jnp.float32),
+                                   method=vae32.encode)
         std = jnp.exp(0.5 * logvar)
         if key.ndim == 2:
             noise = jax.vmap(lambda k, m: jax.random.normal(k, m.shape, m.dtype))(

@@ -115,6 +115,13 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     x2 = x.reshape(m, k)
 
     bm, bn = _pick_blocks(m, n, k, block_m, block_n)
+    # The kernel does no N masking: grid=(m_pad//bm, n//bn) silently drops
+    # trailing columns if bn does not divide n.  Auto-selection always picks
+    # a divisor; explicit callers must too.  (M is padded, so any bm works.)
+    if n % bn != 0:
+        raise ValueError(
+            f"block_n={bn} must divide n={n} (the kernel writes no partial "
+            f"N blocks); pick a divisor or omit block_n for auto-selection")
     m_pad = _cdiv(m, bm) * bm
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))

@@ -72,8 +72,12 @@ def clip_image_features(paths: Sequence[str], clip_ckpt: str,
                         batch: int = 64) -> np.ndarray:
     """Image files -> [N, projection_dim] L2-normalized image embeddings.
 
-    Each image is resized to 224x224 on the host before stacking, so
-    directories of heterogeneous sizes (e.g. raw MS-COCO references) work.
+    Preprocessing matches the CLIP processor exactly: resize the SHORTEST
+    side to 224 (bicubic), then center-crop 224x224 — not a squash-resize —
+    so scores on non-square inputs (raw MS-COCO references) are comparable
+    to torchmetrics / clean-fid numbers.  Features are L2-normalized here;
+    CLIP-FID consumers therefore get normalized embeddings (the clean-fid
+    convention), which shifts clip_fid scale vs unnormalized variants.
     """
     import jax
     import jax.numpy as jnp
@@ -91,7 +95,15 @@ def clip_image_features(paths: Sequence[str], clip_ckpt: str,
     def load224(p):
         im = Image.open(p).convert("RGB")
         if im.size != (224, 224):
-            im = im.resize((224, 224), Image.BICUBIC)
+            w, h = im.size
+            scale = 224.0 / min(w, h)
+            # round like torchvision Resize (shortest side exactly 224)
+            nw, nh = (224, max(224, round(h * scale))) if w <= h else \
+                (max(224, round(w * scale)), 224)
+            im = im.resize((nw, nh), Image.BICUBIC)
+            left = (nw - 224) // 2
+            top = (nh - 224) // 2
+            im = im.crop((left, top, left + 224, top + 224))
         return np.asarray(im, np.float32) / 255.0
 
     feats = []

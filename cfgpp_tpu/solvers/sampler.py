@@ -132,7 +132,13 @@ def run_solver(
     noise_key: Optional[jax.Array] = None,
     return_trajectory: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
-    """Run the full reverse process.  Returns (final_latent, trajectory)."""
+    """Run the full reverse process.  Returns (final_latent, trajectory).
+
+    API contract: ``cfg_guidance`` may be a traced scalar (one compiled graph
+    serves all guidance scales) EXCEPT for lightning specs, which require a
+    concrete python float 1.0 so the w==1 distillation assert actually runs
+    (see _check_guidance; the engine substitutes the literal after its own
+    host-side validation)."""
     _check_guidance(spec, plan, cfg_guidance, noise_key)
     w = jnp.float32(cfg_guidance)
     coeffs = _as_device_coeffs(plan)
