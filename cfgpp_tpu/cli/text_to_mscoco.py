@@ -45,6 +45,13 @@ def main(argv=None):
                         help="disable data-parallel sharding")
     parser.add_argument("--resume", action="store_true",
                         help="skip prompts whose output PNG already exists")
+    parser.add_argument("--callbacks", type=str, nargs="*", default=None,
+                        help="per-step visual callbacks, e.g. draw_noisy "
+                             "draw_tweedie (the reference wires both at "
+                             "frequency 1 into eval generation, "
+                             "examples/text_to_mscoco.py:43-45); images land "
+                             "in <workdir>/record/<global_idx>/...")
+    parser.add_argument("--callback_frequency", type=int, default=1)
     args = parser.parse_args(argv)
 
     workdir = Path(args.workdir or "workdir/mscoco")
@@ -52,6 +59,12 @@ def main(argv=None):
 
     prompts = read_prompts(args.prompt_dir, args.num_prompts)
     engine = build_engine(args)
+
+    callback = None
+    if args.callbacks:
+        from cfgpp_tpu.engine.callbacks import ComposeCallback
+        callback = ComposeCallback(workdir=workdir, callbacks=args.callbacks,
+                                   frequency=args.callback_frequency)
 
     mesh = None
     if not args.no_mesh:
@@ -105,6 +118,7 @@ def main(argv=None):
                 mesh=mesh,
                 as_numpy=False,
                 to_uint8=True,
+                callback_fn=callback,
             )
             done += flush_pending(pending)   # overlaps with device compute
             pending = (dev_imgs[: len(chunk)], paths)

@@ -75,7 +75,19 @@ class _DrawLatent(DiffusionCallback):
     def callback(self, step, t, callback_kwargs):
         z = callback_kwargs[self.latent_key]
         img = callback_kwargs["decode"](z)
-        save_image(img, self.workdir / f"record/{self.subdir}/{self.prefix}_{int(t)}.png")
+        indices = callback_kwargs.get("sample_indices")
+        if indices is not None and len(indices) == img.shape[0]:
+            # batched eval: one record/ tree per sample, keyed by its GLOBAL
+            # prompt index (the batched form of the reference's per-prompt
+            # record dirs, examples/text_to_mscoco.py:43-45)
+            import numpy as np
+            imgs = np.asarray(img)
+            for gi, im in zip(indices, imgs):
+                save_image(im, self.workdir /
+                           f"record/{int(gi):05d}/{self.subdir}/{self.prefix}_{int(t)}.png")
+        else:
+            save_image(img, self.workdir /
+                       f"record/{self.subdir}/{self.prefix}_{int(t)}.png")
         return callback_kwargs
 
 

@@ -194,10 +194,10 @@ class DiffusionEngine:
     # ---------------------------------------------------------------- sample
     def sample(
         self,
-        prompt: Sequence[str],
+        prompt: Sequence,
         cfg_guidance: float = 7.5,
         seed: int = 42,
-        prompt_2: Optional[Sequence[str]] = None,
+        prompt_2: Optional[Sequence] = None,
         resolution: Optional[int] = None,
         src_img: Optional[jnp.ndarray] = None,
         callback_fn: Optional[Callable] = None,
@@ -212,86 +212,46 @@ class DiffusionEngine:
         src_latent_override: Optional[jnp.ndarray] = None,
     ) -> np.ndarray:
         """Generate images.  ``prompt`` is [null, cond] (or [null, src, tgt]
-        for edit solvers), mirroring the reference CLIs.  Returns float32
-        NHWC images in [0, 1].
+        for edit solvers), mirroring the reference CLIs.  Each conditional
+        entry may also be a LIST of B strings — the whole request then runs
+        as one fused batch-B graph (latent_diffusion.py:254-299 semantics at
+        any batch; noise draws use one seed-keyed stream over the [B, ...]
+        shape, so batch=1 reproduces the historical single-prompt draws).
+        Returns float32 NHWC images in [0, 1].
 
         ``latent_init``: inversion solvers accept "ddim" (default — invert
         with the real null prompt) or "npi" (negative-prompt inversion,
         latent_diffusion.py:195-197: the conditional embedding serves as
         the null prompt with w=1, collapsing to a single-branch forward).
         """
-        family = self.bundle.family
-        res = resolution or self.default_resolution()
-        if self.spec.lightning and float(cfg_guidance) != 1.0:
-            raise ValueError(
-                "CFG should be turned off (cfg_guidance=1) in the lightning version")
-        if self.spec.edit:
-            null_p, src_p, tgt_p = prompt[0], prompt[1], prompt[2]
-            cond_prompts = [src_p, tgt_p]
-        else:
-            null_p, cond_p = prompt[0], prompt[1]
-            cond_prompts = [cond_p]
+        null_p = prompt[0]
+        conds = prompt[1:3] if self.spec.edit else prompt[1:2]
+        batch = max((len(p) if isinstance(p, (list, tuple)) else 1)
+                    for p in conds)
+        cond_slots = [list(p) if isinstance(p, (list, tuple)) else [p] * batch
+                      for p in conds]
+        if any(len(s) != batch for s in cond_slots):
+            raise ValueError("prompt lists must share one batch size")
+        cond_slots_2 = None
+        if prompt_2 is not None:
+            null_p = (null_p, prompt_2[0])
+            conds2 = prompt_2[1:3] if self.spec.edit else prompt_2[1:2]
+            cond_slots_2 = [list(p) if isinstance(p, (list, tuple)) else [p] * batch
+                            for p in conds2]
 
-        batch = 1
         key = jax.random.PRNGKey(seed)
-        k_init, k_noise, k_enc = jax.random.split(key, 3)
-
-        ids_uc = self.tokenize([null_p] * batch)
-        ids_cs = [self.tokenize([p] * batch) for p in cond_prompts]
-
-        kwargs: Dict[str, Any] = {}
-        if family == "sdxl":
-            p2 = prompt_2 if prompt_2 is not None else prompt
-            null_p2 = p2[0]
-            cond_p2s = list(p2[1:]) if self.spec.edit else [p2[1]]
-            kwargs["ids2_uc"] = self.tokenize_2([null_p2] * batch)
-            kwargs["ids2_cs"] = [self.tokenize_2([p] * batch) for p in cond_p2s]
-            osz = original_size or (res, res)
-            tsz = target_size or (res, res)
-            kwargs["time_ids"] = jnp.asarray(
-                self.make_add_time_ids(batch, osz, crops_coords_top_left, tsz))
-
-        zshape = self.latent_shape(batch, res)
-        if init_latent_override is not None:
-            # cross-framework parity harness: inject the exact zT a reference
-            # implementation drew, bypassing jax.random
-            kwargs["zT_override"] = jnp.asarray(init_latent_override, jnp.float32)
-        if src_latent_override is not None:
-            # parity harness for inversion solvers: inject the reference's
-            # ENCODED latent (its VAE sample draw cannot be replayed in jax)
-            kwargs["z0_override"] = jnp.asarray(src_latent_override, jnp.float32)
-        if self.spec.inversion:
-            if src_img is None:
-                raise ValueError(f"solver {self.solver_name} needs src_img")
-            src_img = jnp.asarray(src_img, jnp.float32)
-        else:
-            src_img = jnp.zeros((batch, 8, 8, 3), jnp.float32)  # placeholder
-        if latent_init not in (None, "ddim", "npi"):
-            raise ValueError(f"unknown latent_init {latent_init!r}")
-        if latent_init == "npi" and not self.spec.inversion:
-            raise ValueError("latent_init='npi' requires an inversion solver")
-
-        with_traj = (callback_fn is not None or return_trajectory) and not unrolled
-        runner = self._get_runner(
-            mode=_needs_branches(self.spec.cfgpp, float(cfg_guidance)),
-            batch=batch, res=res,
-            n_cond=len(ids_cs), with_traj=with_traj,
-            unrolled=unrolled, clip_skip=clip_skip,
-            latent_init=latent_init)
-
-        w_arr = jnp.float32(cfg_guidance)
-        if unrolled:
-            img, traj = runner(w_arr, ids_uc, ids_cs, src_img, k_init, k_noise,
-                               k_enc, kwargs, callback_fn)
-        else:
-            img, traj = runner(w_arr, ids_uc, ids_cs, src_img, k_init, k_noise,
-                               k_enc, kwargs)
-
-        if callback_fn is not None and not unrolled:
-            self._replay_callbacks(callback_fn, traj)
-        if return_trajectory:
-            return np.asarray(img), jax.tree.map(np.asarray, traj)
-        return np.asarray(img)
+        keys = jax.random.split(key, 3)  # (init, noise, enc)
+        return self._run(
+            null_prompt=null_p, cond_slots=cond_slots,
+            cond_slots_2=cond_slots_2, batch=batch,
+            cfg_guidance=cfg_guidance, keys=keys, resolution=resolution,
+            src_imgs=src_img, callback_fn=callback_fn, unrolled=unrolled,
+            original_size=original_size,
+            crops_coords_top_left=crops_coords_top_left,
+            target_size=target_size, clip_skip=clip_skip,
+            init_latent_override=init_latent_override,
+            return_trajectory=return_trajectory, latent_init=latent_init,
+            src_latent_override=src_latent_override)
 
     def sample_batch(
         self,
@@ -311,6 +271,7 @@ class DiffusionEngine:
         to_uint8: bool = False,
         src_imgs: Optional[jnp.ndarray] = None,
         src_prompts: Optional[Sequence[str]] = None,
+        callback_fn: Optional[Callable] = None,
     ) -> np.ndarray:
         """Batched generation: one fused run over B prompts, optionally
         sharded data-parallel over a device mesh (the TPU replacement for
@@ -329,66 +290,148 @@ class DiffusionEngine:
         ``to_uint8`` converts to uint8 ON DEVICE: 4x less host transfer
         (the PNG writer wants uint8 anyway).
         """
-        if self.spec.lightning and float(cfg_guidance) != 1.0:
-            raise ValueError(
-                "CFG should be turned off (cfg_guidance=1) in the lightning version")
-        if self.spec.inversion and src_imgs is None:
-            raise ValueError(f"solver {self.solver_name} needs src_imgs")
         if self.spec.edit and src_prompts is None:
             raise ValueError(f"edit solver {self.solver_name} needs src_prompts")
         batch = len(prompts)
-        res = resolution or self.default_resolution()
         idx = np.asarray(sample_indices if sample_indices is not None
                          else np.arange(batch), np.uint32)
         base = jax.random.PRNGKey(seed)
         sample_keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.asarray(idx))
 
-        ids_uc = self.tokenize([null_prompt] * batch)
-        if self.spec.edit:
-            ids_cs = [self.tokenize(list(src_prompts)), self.tokenize(list(prompts))]
-        else:
-            ids_cs = [self.tokenize(list(prompts))]
-        kwargs: Dict[str, Any] = {}
-        if self.bundle.family == "sdxl":
-            np2 = null_prompt_2 if null_prompt_2 is not None else null_prompt
+        cond_slots = ([list(src_prompts), list(prompts)] if self.spec.edit
+                      else [list(prompts)])
+        cond_slots_2 = None
+        null_p: Any = null_prompt
+        if prompts_2 is not None or null_prompt_2 is not None:
+            null_p = (null_prompt, null_prompt_2 if null_prompt_2 is not None
+                      else null_prompt)
             ps2 = list(prompts_2) if prompts_2 is not None else list(prompts)
-            kwargs["ids2_uc"] = self.tokenize_2([np2] * batch)
-            if self.spec.edit:
-                kwargs["ids2_cs"] = [self.tokenize_2(list(src_prompts)),
-                                     self.tokenize_2(ps2)]
-            else:
-                kwargs["ids2_cs"] = [self.tokenize_2(ps2)]
+            cond_slots_2 = ([list(src_prompts), ps2] if self.spec.edit
+                            else [ps2])
+
+        # per-sample keys for init, ancestral noise AND the encode draw:
+        # batched inversion stays identical across batch sizes / shardings
+        return self._run(
+            null_prompt=null_p, cond_slots=cond_slots,
+            cond_slots_2=cond_slots_2, batch=batch,
+            cfg_guidance=cfg_guidance,
+            keys=(sample_keys, sample_keys, sample_keys),
+            resolution=resolution, src_imgs=src_imgs, mesh=mesh,
+            original_size=original_size,
+            crops_coords_top_left=crops_coords_top_left,
+            target_size=target_size, callback_fn=callback_fn,
+            callback_sample_indices=idx.tolist(),
+            as_numpy=as_numpy, to_uint8=to_uint8)
+
+    def _run(
+        self,
+        *,
+        null_prompt,
+        cond_slots: Sequence[Sequence[str]],
+        cond_slots_2: Optional[Sequence[Sequence[str]]],
+        batch: int,
+        cfg_guidance: float,
+        keys: Tuple,
+        resolution: Optional[int],
+        src_imgs: Optional[jnp.ndarray] = None,
+        mesh=None,
+        callback_fn: Optional[Callable] = None,
+        callback_sample_indices: Optional[Sequence[int]] = None,
+        unrolled: bool = False,
+        original_size: Optional[Tuple[int, int]] = None,
+        crops_coords_top_left: Tuple[int, int] = (0, 0),
+        target_size: Optional[Tuple[int, int]] = None,
+        clip_skip: Optional[int] = None,
+        init_latent_override: Optional[jnp.ndarray] = None,
+        return_trajectory: bool = False,
+        latent_init: Optional[str] = None,
+        src_latent_override: Optional[jnp.ndarray] = None,
+        as_numpy: bool = True,
+        to_uint8: bool = False,
+    ):
+        """THE runner code path: every public API (single-prompt, batched,
+        sharded, inversion, edit, trajectory/callback) assembles inputs here.
+
+        ``null_prompt`` is a string, or an (encoder-1, encoder-2) pair.
+        ``keys`` is the (init, noise, enc) key triple — scalar keys for the
+        seed-keyed stream, or the same per-sample [B, 2] array thrice for
+        global-index-keyed batches.
+        """
+        family = self.bundle.family
+        res = resolution or self.default_resolution()
+        if self.spec.lightning and float(cfg_guidance) != 1.0:
+            raise ValueError(
+                "CFG should be turned off (cfg_guidance=1) in the lightning version")
+        if latent_init not in (None, "ddim", "npi"):
+            raise ValueError(f"unknown latent_init {latent_init!r}")
+        if latent_init == "npi" and not self.spec.inversion:
+            raise ValueError("latent_init='npi' requires an inversion solver")
+
+        null1 = null_prompt[0] if isinstance(null_prompt, tuple) else null_prompt
+        ids_uc = self.tokenize([null1] * batch)
+        ids_cs = [self.tokenize(list(slot)) for slot in cond_slots]
+
+        kwargs: Dict[str, Any] = {}
+        if family == "sdxl":
+            null2 = null_prompt[1] if isinstance(null_prompt, tuple) else null_prompt
+            slots2 = cond_slots_2 if cond_slots_2 is not None else cond_slots
+            kwargs["ids2_uc"] = self.tokenize_2([null2] * batch)
+            kwargs["ids2_cs"] = [self.tokenize_2(list(s)) for s in slots2]
             osz = original_size or (res, res)
             tsz = target_size or (res, res)
             kwargs["time_ids"] = jnp.asarray(
                 self.make_add_time_ids(batch, osz, crops_coords_top_left, tsz))
 
+        if init_latent_override is not None:
+            # cross-framework parity harness: inject the exact zT a reference
+            # implementation drew, bypassing jax.random
+            kwargs["zT_override"] = jnp.asarray(init_latent_override, jnp.float32)
+        if src_latent_override is not None:
+            # parity harness for inversion solvers: inject the reference's
+            # ENCODED latent (its VAE sample draw cannot be replayed in jax)
+            kwargs["z0_override"] = jnp.asarray(src_latent_override, jnp.float32)
+
         if self.spec.inversion:
+            if src_imgs is None:
+                raise ValueError(f"solver {self.solver_name} needs src_imgs")
             src_batch = jnp.asarray(src_imgs, jnp.float32)
             if src_batch.shape[0] != batch:
                 raise ValueError(
-                    f"{src_batch.shape[0]} src_imgs vs {batch} prompts")
+                    f"{src_batch.shape[0]} src imgs vs batch {batch}")
         else:
-            src_batch = jnp.zeros((batch, 8, 8, 3), jnp.float32)
+            src_batch = jnp.zeros((batch, 8, 8, 3), jnp.float32)  # placeholder
 
+        k_init, k_noise, k_enc = keys
         if mesh is not None:
             from cfgpp_tpu.parallel import shard_batch
             ids_uc = shard_batch(ids_uc, mesh)
             ids_cs = shard_batch(ids_cs, mesh)
-            sample_keys = shard_batch(sample_keys, mesh)
             kwargs = shard_batch(kwargs, mesh)
             src_batch = shard_batch(src_batch, mesh)
+            if k_init.ndim == 2:
+                k_init = k_noise = k_enc = shard_batch(k_init, mesh)
 
+        with_traj = (callback_fn is not None or return_trajectory) and not unrolled
         runner = self._get_runner(
             mode=_needs_branches(self.spec.cfgpp, float(cfg_guidance)),
-            batch=batch, res=res, n_cond=len(ids_cs), with_traj=False,
-            unrolled=False)
-        # per-sample keys for the encode draw too: batched inversion stays
-        # identical across batch sizes / shardings
-        img, _ = runner(jnp.float32(cfg_guidance), ids_uc, ids_cs, src_batch,
-                        sample_keys, sample_keys, sample_keys, kwargs)
+            batch=batch, res=res, n_cond=len(ids_cs), with_traj=with_traj,
+            unrolled=unrolled, clip_skip=clip_skip, latent_init=latent_init)
+
+        w_arr = jnp.float32(cfg_guidance)
+        if unrolled:
+            img, traj = runner(w_arr, ids_uc, ids_cs, src_batch, k_init,
+                               k_noise, k_enc, kwargs, callback_fn)
+        else:
+            img, traj = runner(w_arr, ids_uc, ids_cs, src_batch, k_init,
+                               k_noise, k_enc, kwargs)
+
+        if callback_fn is not None and not unrolled:
+            self._replay_callbacks(callback_fn, traj,
+                                   sample_indices=callback_sample_indices)
         if to_uint8:
             img = self._to_uint8(img)
+        if return_trajectory:
+            return np.asarray(img), jax.tree.map(np.asarray, traj)
         return np.asarray(img) if as_numpy else img
 
     # ------------------------------------------------------------- internals
@@ -522,10 +565,18 @@ class DiffusionEngine:
         return {"unet": b.unet_params, "vae": b.vae_params,
                 "text": b.text_params, "text2": b.text_params_2}
 
-    def _replay_callbacks(self, callback_fn, traj):
-        """Post-hoc callback replay over the fused trajectory (non-mutating)."""
+    def _replay_callbacks(self, callback_fn, traj, sample_indices=None):
+        """Post-hoc callback replay over the fused trajectory (non-mutating).
+
+        ``sample_indices``: global per-sample indices for batched runs —
+        passed through to callbacks so draw_* can write per-sample subdirs
+        (the batched equivalent of the reference's per-prompt record/ dirs,
+        examples/text_to_mscoco.py:43-45)."""
         z0s, zts = traj
         decode = self.decode_fn()
         ts = self.plan.coeffs["t"]
         for i in range(self.plan.n_steps):
-            callback_fn(i, int(ts[i]), {"z0t": z0s[i], "zt": zts[i], "decode": decode})
+            kw = {"z0t": z0s[i], "zt": zts[i], "decode": decode}
+            if sample_indices is not None:
+                kw["sample_indices"] = sample_indices
+            callback_fn(i, int(ts[i]), kw)
