@@ -23,6 +23,17 @@ step-0 MAE of the reverse trajectory.
 
 Usage:
   python -m cfgpp_tpu.cli.parity_check --dump ref_traj.npz --ckpt_dir <weights>
+
+A second, locally-executable mode bounds the OPT-IN int8 path's numerics:
+``--quant_drift`` runs the exact bf16 trajectory and the quantized
+trajectory (``--quant_mode dense|all``) from one shared zT on the
+true-shape model and reports per-step MAE between them — the drift budget
+the W8A8 path spends out of the <1e-2 reference-parity allowance.  Needs
+no reference dump; without --ckpt_dir it runs random-init weights (same
+compute graph as a checkpointed run).
+
+  python -m cfgpp_tpu.cli.parity_check --quant_drift --model sdxl \\
+      --method dpm++_2m_cfgpp --NFE 25 --quant_mode all
 """
 
 from __future__ import annotations
@@ -46,16 +57,73 @@ def compare_trajectories(ours_z0, ours_zt, ref_z0, ref_zt):
     return rows, worst
 
 
+def run_quant_drift(args):
+    """Per-step MAE of the int8 trajectory vs the exact bf16 trajectory,
+    same weights, same zT.  Returns the JSON verdict dict."""
+    import jax.numpy as jnp
+
+    from cfgpp_tpu.engine import DiffusionEngine, ModelBundle
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.ckpt_dir:
+        bundle = ModelBundle.from_pretrained(args.ckpt_dir, args.model,
+                                             dtype=dtype, param_dtype=dtype)
+    else:
+        bundle = ModelBundle.random_init(args.model, dtype=dtype,
+                                         param_dtype=dtype)
+    exact = DiffusionEngine(bundle, solver=args.method, nfe=args.NFE)
+    quant = DiffusionEngine(bundle.quantized(mode=args.quant_mode),
+                            solver=args.method, nfe=args.NFE)
+    prompt = ["", args.prompt]
+    kw = dict(cfg_guidance=args.cfg_guidance, seed=args.seed,
+              resolution=args.resolution, return_trajectory=True)
+    _, (z0_e, zt_e) = exact.sample(prompt, **kw)
+    _, (z0_q, zt_q) = quant.sample(prompt, **kw)
+    rows, worst = compare_trajectories(z0_q, zt_q, z0_e, zt_e)
+    # latents live on the schedule's sigma scale; normalize by the exact
+    # trajectory's own magnitude so the bound is scale-free
+    ref_mag = float(np.mean(np.abs(z0_e)))
+    return {
+        "mode": f"quant_drift[{args.quant_mode}]",
+        "model": args.model, "method": args.method, "nfe": args.NFE,
+        "worst_mae": worst,
+        "worst_rel_mae": worst / ref_mag,
+        "exact_z0_mean_abs": ref_mag,
+        "tolerance": args.tolerance,
+        "verdict": "PASS" if worst < args.tolerance else "FAIL",
+        "per_step": rows,
+    }
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="cfgpp_tpu latent parity check")
-    parser.add_argument("--dump", type=str, required=True,
+    parser.add_argument("--dump", type=str, default=None,
                         help=".npz reference trajectory (see module docstring)")
-    parser.add_argument("--ckpt_dir", type=str, required=True,
+    parser.add_argument("--ckpt_dir", type=str, default=None,
                         help="converted reference weights (HF layout)")
     parser.add_argument("--tolerance", type=float, default=1e-2)
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=("bfloat16", "float32"))
+    parser.add_argument("--quant_drift", action="store_true",
+                        help="compare int8 vs exact bf16 trajectories "
+                             "(no reference dump needed)")
+    parser.add_argument("--quant_mode", type=str, default="all",
+                        choices=("dense", "all"))
+    parser.add_argument("--model", type=str, default="sdxl")
+    parser.add_argument("--method", type=str, default="dpm++_2m_cfgpp")
+    parser.add_argument("--NFE", type=int, default=25)
+    parser.add_argument("--cfg_guidance", type=float, default=5.0)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--resolution", type=int, default=None)
+    parser.add_argument("--prompt", type=str, default="a parity check prompt")
     args = parser.parse_args(argv)
+
+    if args.quant_drift:
+        out = run_quant_drift(args)
+        print(json.dumps(out))
+        return 0 if out["verdict"] == "PASS" else 1
+    if not args.dump or not args.ckpt_dir:
+        parser.error("--dump and --ckpt_dir are required unless --quant_drift")
 
     import jax.numpy as jnp
 
