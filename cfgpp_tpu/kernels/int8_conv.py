@@ -12,9 +12,11 @@ This kernel fuses the whole pipeline into the conv's natural tiling, the
 same recipe `kernels/int8_matmul.py` proved on the dense projections:
 
   read a block of br image rows (+1 halo row each side, via three
-  clamped-index BlockSpecs over the same HBM array)
+  BlockSpecs over the same zero-block-padded HBM array)
   -> absmax over the window -> quantize to int8 once, in VMEM
-  -> 3x3 conv as NINE shifted int8 MXU dots [br*W, C] x [C, bo] (int32 acc)
+  -> stage the three dw-shifted copies via sublane rotates (pltpu.roll)
+     so every later slice is tile-aligned
+  -> 3x3 conv as NINE int8 MXU dots [br*W, C] x [C, bo] (int32 acc)
   -> dequant by (window_scale x per-channel w_scale) + bias
   -> write y bf16 [br, W, bo]
 
@@ -25,11 +27,18 @@ and the br+2-row window is the smallest set this tiling accumulates over.
 Weights are per-output-channel symmetric int8 ([3, 3, C, O] as quantized
 offline by `quantize_conv_kernel_int8`).
 
-Boundary handling: W is zero-padded in HBM before the call (zero rows
-quantize to 0 and contribute 0, matching conv zero-padding); H boundaries
-are handled in-kernel by zeroing the halo row when the block starts at
-h==0 / ends at h==H-1 (halo BlockSpec indices are clamped, so those rows
-otherwise hold neighbor-sample garbage).
+Layout discipline (the part Mosaic punishes if you get it wrong): all
+in-kernel slicing happens on UNTILED leading dims or at sublane offset 0
+with W a multiple of the 32-row int8 tile.  A first version that sliced
+the padded width at offsets 1/2 inside the dot loop compiled into a
+relayout storm that wedged the chip; the roll-then-aligned-slice staging
+is what makes this kernel viable.
+
+Boundary handling: W is zero-padded in HBM (zero columns quantize to 0
+and contribute 0, matching conv zero-padding); the row-block dim is
+padded with one zero BLOCK on each side so the halo BlockSpecs never go
+out of bounds, and interior sample boundaries (h==0 / h==H-1 rows, which
+would otherwise read the neighboring sample) are zeroed in-kernel.
 """
 
 from __future__ import annotations
@@ -52,8 +61,8 @@ def _kernel(xp_ref, xc_ref, xn_ref, w_ref, ws_ref, b_ref, o_ref,
     @pl.when(j == 0)
     def _quantize():
         # rows i*br-1 .. i*br+br of the padded image, quantized once per
-        # row block; the int8 copy + scale stay in VMEM/SMEM scratch for
-        # every output-channel block (j is the sequential grid dim)
+        # row block; the int8 shifted copies + scale stay in VMEM/SMEM
+        # scratch for every output-channel block (j is sequential)
         xf = jnp.concatenate(
             [xp_ref[0, br - 1:br], xc_ref[0], xn_ref[0, 0:1]],
             axis=0).astype(jnp.float32)                   # [br+2, Wp, C]
@@ -67,17 +76,27 @@ def _kernel(xp_ref, xc_ref, xn_ref, w_ref, ws_ref, b_ref, o_ref,
         amax = jnp.max(jnp.abs(xf))
         sx = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
         sx_s[0, 0] = sx
-        # NOTE: pl.reciprocal rejects scalar operands in this Mosaic build
-        # (F32Type has no element_type) — plain division lowers fine.
-        xq_s[:] = jnp.clip(jnp.round(xf * (1.0 / sx)),
+        inv = 1.0 / sx
+        # Stage the dw shifts HERE, as whole-array sublane rotates on the
+        # f32 window (Mosaic can't rotate int8: "Rotate with non-32-bit
+        # data"), so the slices below are all offset-0 / untiled-dim
+        # (tile-aligned).  pltpu.roll wants non-negative shifts:
+        # wp-k == -k mod wp.  Quantize runs 3x but it's VPU work done once
+        # per row block, off the MXU critical path.
+        wp = xf.shape[1]
+        xq_s[0] = jnp.clip(jnp.round(xf[:, 0:w_out] * inv),
                            -127.0, 127.0).astype(jnp.int8)
+        for dw in (1, 2):
+            xs = pltpu.roll(xf, wp - dw, 1)[:, 0:w_out]
+            xq_s[dw] = jnp.clip(jnp.round(xs * inv),
+                                -127.0, 127.0).astype(jnp.int8)
 
     c = xq_s.shape[-1]
     bo = o_ref.shape[-1]
     acc = jnp.zeros((br * w_out, bo), jnp.int32)
     for dh in range(3):
         for dw in range(3):
-            xs = xq_s[dh:dh + br, dw:dw + w_out, :].reshape(br * w_out, c)
+            xs = xq_s[dw, dh:dh + br].reshape(br * w_out, c)
             acc += jax.lax.dot_general(
                 xs, w_ref[dh, dw], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
@@ -87,46 +106,75 @@ def _kernel(xp_ref, xc_ref, xn_ref, w_ref, ws_ref, b_ref, o_ref,
     o_ref[0] = y.reshape(br, w_out, bo).astype(o_ref.dtype)
 
 
-# VMEM ceiling for block selection; the axon build caps the Pallas scoped
-# stack at 16MB and the quantize stage makes a transient f32 window copy.
-_VMEM_BUDGET = 12 * 1024 * 1024
+# VMEM ceiling for block selection, calibrated against measured v5e
+# compile outcomes (2026-08-17): with the estimate below, every config
+# that compiled lands <= 21.2MB and every compile failure >= 22.9MB.
+_VMEM_BUDGET = 22 * 1024 * 1024
 
 
 def _vmem_est(br: int, wp: int, c: int, bo: int) -> int:
-    wrow = br * wp * c
-    return (wrow * 2 * 3 * 2      # 3 bf16 halo views, double-buffered
-            + (br + 2) * wp * c   # int8 scratch window
+    w = wp - 2
+    return (br * wp * c * 2 * 3 * 2   # 3 bf16 halo views, double-buffered
+            + 3 * (br + 2) * w * c    # int8 shifted copies scratch
             + (br + 2) * wp * c * 4   # f32 quantize transient
-            + 9 * c * bo * 2      # w int8 block, double-buffered
-            + br * wp * bo * 2 * 2    # out bf16, double-buffered
-            + br * wp * bo * 8)   # int32 acc + f32 dequant transients
+            + 9 * c * bo * 2          # w int8 block, double-buffered
+            + br * w * bo * 2 * 2     # out bf16, double-buffered
+            + br * w * bo * 8)        # int32 acc + f32 dequant transients
 
 
 def _pick_blocks(h: int, w: int, c: int, o: int):
-    # bo: Mosaic wants the lane (last) block dim to be a multiple of 128 or
-    # the whole array dim; it must also divide o (the kernel writes no
-    # partial blocks).  br must divide h so a row block never spans samples.
-    bo_opts = [b for b in (1280, 1024, 768, 640, 512, 384, 256, 128)
-               if b <= o and o % b == 0] or [o]
-    br_opts = [b for b in (32, 16, 8, 4, 2, 1) if h % b == 0]
+    # bo: Mosaic requires the lane (last) block dim to be a multiple of 128
+    # OR the whole array dim (bo=320 of o=640 fails to lower); it must also
+    # divide o (the kernel writes no partial blocks).  br must divide h so
+    # a row block never spans samples.
+    #
+    # Measured sweep (v5e, 2026-08-17): M=br*w wants ~1024 for narrow
+    # channels and ~512 for wide ones (VMEM pressure inverts the bigger-M
+    # win); bo sweet spot <= 640.  Best: [8,128,128,320] br=8/bo=320
+    # 79.9 TF/s; [8,64,64,640] br=8/bo=640 101.7; [8,32,32,1280]
+    # br=16/bo=256 105.8 (vs XLA bf16 66.9/77.1/86.3).
+    bo_opts = [b for b in (640, 512, 384, 256, 128)
+               if b <= o and o % b == 0]
+    if o <= 640:
+        bo_opts.insert(0, o)
+    bo_opts = bo_opts or [o]
+    # narrow channels (and the tiny 32^2 spatial at c<=640) want the
+    # bigger M; wide channels invert under VMEM pressure (measured:
+    # [8,32,32,640]->1280 br=32 69.3 TF/s vs br=16 55.4, but
+    # [8,32,32,1280]->1280 br=16 105.8 vs br=32 95.2)
+    m_target = 1024 if (c < 512 or (h <= 32 and c <= 640)) else 512
+    br_opts = sorted((b for b in (32, 16, 8, 4, 2, 1) if h % b == 0),
+                     key=lambda b: (b * w < m_target, abs(b * w - m_target)))
     for br in br_opts:
-        if br * w > 1024:     # MXU saturates near M=512; bigger wastes VMEM
-            continue
         for bo in bo_opts:
             if _vmem_est(br, w + 2, c, bo) <= _VMEM_BUDGET:
                 return br, bo
     return br_opts[-1], bo_opts[-1]
 
 
-def int8_conv3x3_supported(x_shape, strides, padding) -> bool:
-    """True when `int8_conv3x3` handles this conv (stride 1, pad 1, and a
-    spatial extent big enough that the fused kernel beats XLA)."""
+def int8_conv3x3_supported(x_shape, strides, padding, o: int | None = None
+                           ) -> bool:
+    """True when `int8_conv3x3` handles this conv AND measurably beats the
+    XLA bf16 conv (v5e sweep, 2026-08-17): stride 1, pad 1, W a multiple
+    of the 32-row int8 sublane tile (keeps every in-kernel slice aligned),
+    plus two measured dispatch guards:
+
+    * small 32^2 x narrow-channel convs lose to XLA ([8,32,32,640]->640
+      ran 0.79x) — require c*o >= 640*1280 or h >= 64;
+    * c >= 1536 at h > 32 hits a Mosaic compile failure at every block
+      config that would also be fast ([8,64,64,1920]->640: br=8 fails to
+      compile, br=2 is XLA-parity only) — route those to XLA.
+    """
     b, h, w, c = x_shape
     if strides not in ((1, 1), None):
         return False
     if padding not in (1, ((1, 1), (1, 1))):
         return False
-    return h >= 8 and w >= 8 and c >= 128
+    if not (h >= 8 and w >= 32 and w % 32 == 0 and c >= 128):
+        return False
+    if o is not None and not (c * o >= 640 * 1280 or h >= 64):
+        return False
+    return not (c >= 1536 and h > 32)
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "block_o", "interpret"))
@@ -153,20 +201,21 @@ def int8_conv3x3(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
         raise ValueError(f"block_o={bo} must divide O={o} (no partial blocks)")
 
     wp = w + 2
-    xpad = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))   # zero-pad W in HBM
-    rows = b * h
-    nb = rows // br
-    x4 = xpad.reshape(nb, br, wp, c)
+    nb = (b * h) // br
+    # ONE fused pad: the W halo columns AND one zero block on each end of
+    # the row-block dim (so the i-1 / i+1 halo BlockSpecs below need no
+    # clamping and the array-end halo rows are true zeros).
+    x5 = jnp.pad(x.reshape(nb, br, w, c),
+                 ((1, 1), (0, 0), (1, 1), (0, 0)))        # [nb+2, br, Wp, C]
 
     h_blocks = h // br
     grid = (nb, o // bo)
     use_bias = bias is not None
-    args = [x4, x4, x4, w_q, w_scale.astype(jnp.float32).reshape(1, o)]
+    args = [x5, x5, x5, w_q, w_scale.astype(jnp.float32).reshape(1, o)]
     in_specs = [
-        pl.BlockSpec((1, br, wp, c), lambda i, j: (jnp.maximum(i - 1, 0), 0, 0, 0)),
-        pl.BlockSpec((1, br, wp, c), lambda i, j: (i, 0, 0, 0)),
-        pl.BlockSpec((1, br, wp, c),
-                     lambda i, j, _nb=nb: (jnp.minimum(i + 1, _nb - 1), 0, 0, 0)),
+        pl.BlockSpec((1, br, wp, c), lambda i, j: (i, 0, 0, 0)),      # rows-1
+        pl.BlockSpec((1, br, wp, c), lambda i, j: (i + 1, 0, 0, 0)),  # rows
+        pl.BlockSpec((1, br, wp, c), lambda i, j: (i + 2, 0, 0, 0)),  # rows+1
         pl.BlockSpec((3, 3, c, bo), lambda i, j: (0, 0, 0, j)),
         pl.BlockSpec((1, bo), lambda i, j: (0, j)),
     ]
@@ -183,7 +232,7 @@ def int8_conv3x3(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, br, w, bo), lambda i, j: (i, 0, 0, j)),
         out_shape=jax.ShapeDtypeStruct((nb, br, w, o), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((br + 2, wp, c), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((3, br + 2, w, c), jnp.int8),
                         pltpu.SMEM((1, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),

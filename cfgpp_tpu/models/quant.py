@@ -109,7 +109,7 @@ class QuantConv(nn.Module):
                                 scale, bias)
                 return y.astype(self.dtype)
             if (kh, kw) == (3, 3) and int8_conv3x3_supported(
-                    x.shape, self.strides, self.padding):
+                    x.shape, self.strides, self.padding, self.features):
                 return int8_conv3x3(x, kernel, scale, bias).astype(self.dtype)
         xf = x.astype(jnp.float32)
         amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
