@@ -50,10 +50,13 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 from cfgpp_tpu.kernels.common import cdiv as _cdiv  # noqa: E402
 
 
-def _kernel_single(q_ref, k_ref, v_ref, o_ref, *, kv_len, bkv, d, hpb):
+def _kernel_single(q_ref, k_ref, v_ref, o_ref, *, kv_len, bkv, d, hpb,
+                   q_scale=None):
     """One kv block covers the whole sequence: plain (not running) softmax."""
     for j in range(hpb):
         q = q_ref[0, :, j * d:(j + 1) * d]
+        if q_scale is not None:
+            q = (q.astype(jnp.float32) * q_scale).astype(q_ref.dtype)
         k = k_ref[0, :, j * d:(j + 1) * d]
         v = v_ref[0, :, j * d:(j + 1) * d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -70,7 +73,7 @@ def _kernel_single(q_ref, k_ref, v_ref, o_ref, *, kv_len, bkv, d, hpb):
 
 
 def _kernel_multi(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s,
-                  *, kv_len, bkv, d, hpb):
+                  *, kv_len, bkv, d, hpb, q_scale=None):
     """Streaming kv blocks with the classic running-softmax carry."""
     kv_idx = pl.program_id(2)
     num_kv = pl.num_programs(2)
@@ -83,6 +86,8 @@ def _kernel_multi(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s,
 
     for j in range(hpb):
         q = q_ref[0, :, j * d:(j + 1) * d]
+        if q_scale is not None:
+            q = (q.astype(jnp.float32) * q_scale).astype(q_ref.dtype)
         k = k_ref[0, :, j * d:(j + 1) * d]
         v = v_ref[0, :, j * d:(j + 1) * d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -218,6 +223,88 @@ def flash_attention_hd(
             ])(q, k, v)
     if nq_pad != nq:
         out = out[:, :nq]
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "block_q", "block_kv", "interpret"))
+def flash_attention_qkv_packed(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    block_q: int | None = None,
+    block_kv: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Self-attention on a PACKED [B, N, 3*H*D] qkv projection -> [B, N, H*D].
+
+    The fused to_qkv projection (models/quant.py path) emits q|k|v
+    concatenated on the channel dim.  Rather than slicing (which would
+    materialize three [B,N,H*D] copies to satisfy the custom call's dense
+    layout), the kernel reads q/k/v as three channel-offset BlockSpec views
+    of the SAME array — the pack IS the kernel's native layout.  The
+    softmax scale (d^-1/2 * log2e) is applied in-kernel on the q block
+    (bq*ld VPU mult, negligible), since pre-scaling a slice in HBM would
+    also cost a full copy.
+    """
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // num_heads
+    if hd3 % 3 or hd % num_heads:
+        raise ValueError(f"packed channel dim {hd3} not 3*H*D for H={num_heads}")
+    hpb = heads_per_block(num_heads, d)
+    ld = hpb * d
+    nh = num_heads // hpb
+
+    nkv_pad = _cdiv(n, 128) * 128
+    auto_bq, auto_bkv, single = _pick_blocks(n, nkv_pad, d, hpb)
+    bq = block_q or auto_bq
+    bkv = block_kv or auto_bkv
+
+    nq_pad = _cdiv(n, bq) * bq
+    nkv_pad = _cdiv(nkv_pad, bkv) * bkv
+    npad = max(nq_pad, nkv_pad)
+    single = nkv_pad == bkv
+    if npad != n:
+        qkv = jnp.pad(qkv, [(0, 0), (0, npad - n), (0, 0)])
+
+    grid = (b * nh, nq_pad // bq, nkv_pad // bkv)
+    in_specs = [
+        pl.BlockSpec((1, bq, ld),
+                     lambda g, iq, ik, n_=nh: (g // n_, iq, g % n_)),
+        pl.BlockSpec((1, bkv, ld),
+                     lambda g, iq, ik, n_=nh: (g // n_, ik, n_ + g % n_)),
+        pl.BlockSpec((1, bkv, ld),
+                     lambda g, iq, ik, n_=nh: (g // n_, ik, 2 * n_ + g % n_)),
+    ]
+    out_spec = pl.BlockSpec((1, bq, ld),
+                            lambda g, iq, ik, n_=nh: (g // n_, iq, g % n_))
+    scale = d ** -0.5 * LOG2E
+    common = dict(
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )
+    if single:
+        kern = functools.partial(_kernel_single, kv_len=n, bkv=bkv, d=d,
+                                 hpb=hpb, q_scale=scale)
+        out = pl.pallas_call(kern, **common)(qkv, qkv, qkv)
+    else:
+        kern = functools.partial(_kernel_multi, kv_len=n, bkv=bkv, d=d,
+                                 hpb=hpb, q_scale=scale)
+        out = pl.pallas_call(
+            kern, **common,
+            scratch_shapes=[
+                pltpu.VMEM((bq, 8 * hpb), jnp.float32),
+                pltpu.VMEM((bq, 8 * hpb), jnp.float32),
+                pltpu.VMEM((bq, ld), jnp.float32),
+            ])(qkv, qkv, qkv)
+    if nq_pad != n:
+        out = out[:, :n]
     return out
 
 

@@ -122,7 +122,32 @@ def _vmem_est(br: int, wp: int, c: int, bo: int) -> int:
             + br * w * bo * 8)        # int32 acc + f32 dequant transients
 
 
+# Measured-best (block_rows, block_o) per conv shape (v5e sweeps,
+# 2026-08-17, batch 8 = SDXL batch-4 dual-branch).  Mosaic's true scoped-
+# VMEM usage does not track any simple analytic model across regimes
+# (weight single- vs double-buffering flips with bo==o, halo views share
+# windows unpredictably), so the real SDXL/SD15 shapes are frozen from
+# measurement and `_pick_blocks` is only the fallback for unseen shapes.
+_BEST_BLOCKS = {
+    (128, 128, 320, 320): (8, 320),     # 80.6 TF/s (XLA bf16: 74.6)
+    (128, 128, 640, 640): (4, 640),     # 201.0 (128.0)
+    (128, 128, 640, 320): (4, 320),     # 116.6 (98.6)
+    (128, 128, 960, 320): (4, 320),     # 116.3 (104.4)
+    (64, 64, 640, 640): (8, 640),       # 101.7 (88.1)
+    (64, 64, 960, 640): (8, 128),       # 130.9 (97.5)
+    (64, 64, 1280, 640): (8, 128),      # 153.1 (119.2)
+    (64, 64, 1280, 1280): (8, 256),     # 213.1 (140.8)
+    (64, 64, 1920, 640): (8, 640),      # 174.6 (~115)
+    (32, 32, 640, 1280): (32, 256),     # 69.3 (59.6)
+    (32, 32, 1280, 1280): (16, 256),    # 105.8 (92.0)
+    (32, 32, 1920, 1280): (8, 256),     # 130.4 (109.4)
+    (32, 32, 2560, 1280): (8, 128),     # 140.5 (120.2)
+}
+
+
 def _pick_blocks(h: int, w: int, c: int, o: int):
+    if (h, w, c, o) in _BEST_BLOCKS:
+        return _BEST_BLOCKS[h, w, c, o]
     # bo: Mosaic requires the lane (last) block dim to be a multiple of 128
     # OR the whole array dim (bo=320 of o=640 fails to lower); it must also
     # divide o (the kernel writes no partial blocks).  br must divide h so
@@ -157,13 +182,11 @@ def int8_conv3x3_supported(x_shape, strides, padding, o: int | None = None
     """True when `int8_conv3x3` handles this conv AND measurably beats the
     XLA bf16 conv (v5e sweep, 2026-08-17): stride 1, pad 1, W a multiple
     of the 32-row int8 sublane tile (keeps every in-kernel slice aligned),
-    plus two measured dispatch guards:
-
-    * small 32^2 x narrow-channel convs lose to XLA ([8,32,32,640]->640
-      ran 0.79x) — require c*o >= 640*1280 or h >= 64;
-    * c >= 1536 at h > 32 hits a Mosaic compile failure at every block
-      config that would also be fast ([8,64,64,1920]->640: br=8 fails to
-      compile, br=2 is XLA-parity only) — route those to XLA.
+    plus measured dispatch guards that keep XLA for the shapes where the
+    kernel only ties or loses (small spatial x narrow channels:
+    [8,32,32,640]->640 ran 0.79x, [8,64,64,320]->320 1.02x parity):
+    route when c*o >= 640*1280, OR h >= 128 (every 128^2 shape won), OR
+    h >= 64 with c*o >= 640*640 (measured wins from 1.16x up).
     """
     b, h, w, c = x_shape
     if strides not in ((1, 1), None):
@@ -172,9 +195,10 @@ def int8_conv3x3_supported(x_shape, strides, padding, o: int | None = None
         return False
     if not (h >= 8 and w >= 32 and w % 32 == 0 and c >= 128):
         return False
-    if o is not None and not (c * o >= 640 * 1280 or h >= 64):
-        return False
-    return not (c >= 1536 and h > 32)
+    if o is None:
+        return True
+    return (c * o >= 640 * 1280 or h >= 128
+            or (h >= 64 and c * o >= 640 * 640))
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "block_o", "interpret"))
@@ -235,7 +259,12 @@ def int8_conv3x3(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((3, br + 2, w, c), jnp.int8),
                         pltpu.SMEM((1, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # the default 16MB scoped-vmem limit rejects the measured-best
+            # block configs in-context (e.g. br=32 at [8,32,32,640]->1280:
+            # "size 17.02M and limit 16.00M"); v5e has 128MB of VMEM, so
+            # raise the per-kernel ceiling to match the picker's budget
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return out.reshape(b, h, w, o)

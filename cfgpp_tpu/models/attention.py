@@ -83,13 +83,39 @@ def attention_hd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(b, n, hd)
 
 
+def attention_qkv_packed(qkv: jnp.ndarray, num_heads: int,
+                         mask: Optional[jnp.ndarray] = None,
+                         force_impl: Optional[str] = None) -> jnp.ndarray:
+    """Self-attention on a packed [B, N, 3*H*D] qkv projection.
+
+    The flash kernel reads q/k/v as channel-offset views of the packed
+    array (no slicing copies); the einsum fallback slices — fine at the
+    short sequence lengths that route there."""
+    hd = qkv.shape[-1] // 3
+    d = hd // num_heads
+    impl = force_impl
+    if impl is None:
+        impl = "flash" if (mask is None and _use_flash(qkv.shape[1], qkv.shape[1], d)) else "xla"
+    if impl == "flash":
+        from cfgpp_tpu.kernels.flash_attention import flash_attention_qkv_packed
+        return flash_attention_qkv_packed(qkv, num_heads)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    b, n, _ = qkv.shape
+    out = sdpa_xla(q.reshape(b, n, num_heads, d), k.reshape(b, n, num_heads, d),
+                   v.reshape(b, n, num_heads, d), mask)
+    return out.reshape(b, n, hd)
+
+
 class Attention(nn.Module):
     """Multi-head attention matching diffusers' `Attention` layout.
 
     Self-attention when ``context`` is None; cross-attention otherwise.
     q/k/v projections have no bias; the output projection does.
     ``quant=True`` swaps the projections for int8 W8A8 `QuantDense`
-    (opt-in fast path, see models/quant.py).
+    (opt-in fast path, see models/quant.py) and fuses the self-attention
+    q/k/v projections into ONE packed ``to_qkv`` matmul — one activation
+    quantize pass instead of three, and a 3x-wider (more MXU-efficient)
+    int8 matmul; `weights/quantize.py` packs the params to match.
     """
 
     num_heads: int
@@ -110,13 +136,17 @@ class Attention(nn.Module):
         else:
             dense = functools.partial(nn.Dense, dtype=self.dtype,
                                       param_dtype=self.param_dtype)
-        q = dense(inner, use_bias=False, name="to_q")(x)
-        k = dense(inner, use_bias=False, name="to_k")(ctx)
-        v = dense(inner, use_bias=False, name="to_v")(ctx)
+        if self.quant and context is None:
+            qkv = dense(3 * inner, use_bias=False, name="to_qkv")(x)
+            out = attention_qkv_packed(qkv, self.num_heads, mask=mask)
+        else:
+            q = dense(inner, use_bias=False, name="to_q")(x)
+            k = dense(inner, use_bias=False, name="to_k")(ctx)
+            v = dense(inner, use_bias=False, name="to_v")(ctx)
 
-        # token-major all the way: the flash kernel blocks heads on the
-        # channel dim, so no [B,N,H,D] split / transpose is materialized
-        out = attention_hd(q, k, v, self.num_heads, mask=mask)
+            # token-major all the way: the flash kernel blocks heads on the
+            # channel dim, so no [B,N,H,D] split / transpose is materialized
+            out = attention_hd(q, k, v, self.num_heads, mask=mask)
         return dense(self.out_dim, use_bias=True, name="to_out")(out)
 
 

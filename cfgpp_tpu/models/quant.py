@@ -111,18 +111,20 @@ class QuantConv(nn.Module):
             if (kh, kw) == (3, 3) and int8_conv3x3_supported(
                     x.shape, self.strides, self.padding, self.features):
                 return int8_conv3x3(x, kernel, scale, bias).astype(self.dtype)
-        xf = x.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
-        sx = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
-        xq = jnp.clip(jnp.round(xf / sx), -127.0, 127.0).astype(jnp.int8)
+        # Fallback: dequantize the weights and run ONE bf16/f32 conv.  NOT
+        # the XLA W8A8 recipe — its per-sample absmax, quantize write and
+        # int32->f32 dequant each cost a full-activation HBM pass (that
+        # chain is why round-2's --quant all lost, 181.7 vs 113.9 ms/step).
+        # Weight dequant is [kh,kw,C,O] elementwise — negligible next to
+        # the activation traffic the W8A8 chain would have spent.
+        wf = (kernel.astype(jnp.float32) * scale).astype(self.dtype)
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
-        acc = jax.lax.conv_general_dilated(
-            xq, kernel, self.strides, pad,
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), wf, self.strides, pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32)
-        y = acc.astype(jnp.float32) * sx * scale
+            preferred_element_type=jnp.float32)
         if bias is not None:
             y = y + bias
         return y.astype(self.dtype)

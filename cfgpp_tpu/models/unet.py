@@ -187,11 +187,9 @@ class Downsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.quant in (True, "all"):
-            from cfgpp_tpu.models.quant import QuantConv
-            return QuantConv(self.channels, (3, 3), strides=(2, 2),
-                             padding=((1, 1), (1, 1)), dtype=self.dtype,
-                             name="conv")(x)
+        # Always bf16: stride 2 can never route to the fused Pallas int8
+        # kernel, so quantizing these two sites would only add drift
+        # (weights/quantize.py skips them in the param transform too).
         return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                        dtype=self.dtype, param_dtype=self.param_dtype, name="conv")(x)
 

@@ -26,8 +26,10 @@ QUANT_LAYER_NAMES = frozenset({
     "proj_in", "proj_out",                  # transformer linear projections
 })
 # Convolutions replaced with QuantConv: resnet convs + shortcut and the
-# up/downsampler convs ("conv" only occurs under *samplers_0 in this tree).
-# conv_in / conv_out (first and last layer) deliberately stay bf16.
+# upsampler convs ("conv" only occurs under *samplers_0 in this tree).
+# conv_in / conv_out (first and last layer) deliberately stay bf16, and so
+# do the strided DOWNsampler convs: stride 2 can never route to the fused
+# Pallas kernel, so quantizing them would only add rounding drift.
 QUANT_CONV_NAMES = frozenset({"conv1", "conv2", "conv_shortcut", "conv"})
 
 
@@ -46,13 +48,36 @@ def quantize_unet_params(params: Any, mode: str = "all") -> Any:
 
     conv_names = QUANT_CONV_NAMES if mode == "all" else frozenset()
 
-    def walk(tree, name):
+    def pack_qkv(attn):
+        """Merge self-attention to_q/to_k/to_v into one packed to_qkv.
+
+        The Attention module (quant mode, context=None) runs ONE int8
+        matmul over the concatenated kernels — a single activation
+        quantize pass instead of three, and the flash kernel reads the
+        packed output via channel-offset views.  Per-output-channel
+        quantization commutes with the concat, so quantize-then-concat
+        equals concat-then-quantize."""
+        kernel = jnp.concatenate(
+            [jnp.asarray(attn[k]["kernel"], jnp.float32)
+             for k in ("to_q", "to_k", "to_v")], axis=1)
+        kq, scale = quantize_kernel_int8(kernel)
+        new = {"to_qkv": {"kernel": jnp.asarray(kq), "scale": jnp.asarray(scale)}}
+        new.update({k: walk(v, k, "attn1") for k, v in attn.items()
+                    if k not in ("to_q", "to_k", "to_v")})
+        return new
+
+    def walk(tree, name, parent=""):
         if isinstance(tree, Mapping):
+            if (name == "attn1"
+                    and all(k in tree for k in ("to_q", "to_k", "to_v"))
+                    and getattr(tree["to_q"].get("kernel"), "ndim", 0) == 2):
+                return pack_qkv(tree)
             kernel = tree.get("kernel")
             ndim = getattr(kernel, "ndim", 0)
+            is_conv = (name in conv_names and ndim == 4
+                       and not (name == "conv" and "downsamplers" in parent))
             if kernel is not None and (
-                    (name in QUANT_LAYER_NAMES and ndim == 2)
-                    or (name in conv_names and ndim == 4)):
+                    (name in QUANT_LAYER_NAMES and ndim == 2) or is_conv):
                 quant = (quantize_kernel_int8 if ndim == 2
                          else quantize_conv_kernel_int8)
                 kq, scale = quant(kernel)
@@ -60,7 +85,7 @@ def quantize_unet_params(params: Any, mode: str = "all") -> Any:
                 if "bias" in tree:
                     new["bias"] = jnp.asarray(tree["bias"], jnp.float32)
                 return new
-            return {k: walk(v, k) for k, v in tree.items()}
+            return {k: walk(v, k, name) for k, v in tree.items()}
         return tree
 
     return walk(params, "")

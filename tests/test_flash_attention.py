@@ -122,3 +122,33 @@ def test_attention_hd_flash_matches_einsum():
     out2 = flash_attention_hd(q.reshape(b, n, h * d), k.reshape(b, n, h * d),
                               v.reshape(b, n, h * d), h, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=2e-5)
+
+
+@pytest.mark.parametrize("nq,bq,bkv,h,d", [
+    (512, 512, 512, 4, 64),    # single-pass kernel, packed heads
+    (1024, 256, 256, 4, 64),   # multi-block running softmax
+    (256, 256, 256, 8, 40),    # full-channel-row packing (SD-1.5 level-0)
+    (256, 256, 256, 20, 64),   # SDXL level-2 head count
+])
+def test_flash_qkv_packed_matches_xla(nq, bq, bkv, h, d):
+    """Packed [B,N,3HD] self-attention: channel-offset q/k/v views + the
+    in-kernel softmax scale must equal the plain einsum reference."""
+    from cfgpp_tpu.kernels.flash_attention import flash_attention_qkv_packed
+    q, k, v = rand_qkv(11, 2, nq, nq, h, d)
+    b = q.shape[0]
+    qkv = jnp.concatenate([t.reshape(b, nq, h * d) for t in (q, k, v)], axis=-1)
+    out = flash_attention_qkv_packed(qkv, h, block_q=bq, block_kv=bkv,
+                                     interpret=True)
+    ref = sdpa_xla(q, k, v).reshape(b, nq, h * d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_attention_qkv_packed_fallback_matches():
+    """Short-sequence einsum fallback of the packed entry point."""
+    from cfgpp_tpu.models.attention import attention_qkv_packed
+    q, k, v = rand_qkv(12, 2, 128, 128, 4, 32)
+    b, n, h, d = q.shape
+    qkv = jnp.concatenate([t.reshape(b, n, h * d) for t in (q, k, v)], axis=-1)
+    out = attention_qkv_packed(qkv, h)
+    ref = sdpa_xla(q, k, v).reshape(b, n, h * d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

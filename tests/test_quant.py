@@ -93,6 +93,29 @@ def test_quantize_unet_params_selectivity():
     assert q["params"]["conv_in"]["kernel"].dtype == np.float32
 
 
+def test_qkv_packing_matches_separate():
+    """Packed to_qkv == concat of per-projection quantizations (per-output-
+    channel scales commute with the channel concat)."""
+    rng = np.random.default_rng(5)
+    mk = lambda: {"kernel": rng.normal(size=(16, 16)).astype(np.float32)}
+    tree = {"attn1": {"to_q": mk(), "to_k": mk(), "to_v": mk(),
+                      "to_out": {"kernel": rng.normal(size=(16, 16)).astype(np.float32),
+                                 "bias": np.zeros(16, np.float32)}}}
+    q = quantize_unet_params(tree)
+    a = q["attn1"]
+    assert set(a) == {"to_qkv", "to_out"}
+    assert a["to_qkv"]["kernel"].shape == (16, 48)
+    assert a["to_qkv"]["kernel"].dtype == jnp.int8
+    for i, name in enumerate(("to_q", "to_k", "to_v")):
+        kq, scale = quantize_kernel_int8(tree["attn1"][name]["kernel"])
+        np.testing.assert_array_equal(
+            np.asarray(a["to_qkv"]["kernel"][:, 16 * i:16 * (i + 1)]),
+            np.asarray(kq))
+        np.testing.assert_allclose(
+            np.asarray(a["to_qkv"]["scale"][16 * i:16 * (i + 1)]),
+            np.asarray(scale), rtol=1e-6)
+
+
 def test_quantized_tiny_unet_forward_close():
     from cfgpp_tpu.engine import ModelBundle
     bundle = ModelBundle.random_init("tiny_sdxl", dtype=jnp.float32,
@@ -181,8 +204,10 @@ def test_quantized_dense_mode_keeps_convs_bf16():
     kinds = {}
     for name, k in walk(qb.unet_params["params"], ""):
         kinds.setdefault(name, set()).add((k.ndim, k.dtype.name))
-    # transformer projections went int8
+    # transformer projections went int8; attn1 q/k/v packed into to_qkv
+    # (remaining to_q entries are the cross-attention attn2 ones)
     assert kinds["to_q"] == {(2, "int8")}
+    assert kinds["to_qkv"] == {(2, "int8")}
     assert kinds["net_0_proj"] == {(2, "int8")}
     # resnet convs stayed floating point
     assert all(d != "int8" for _, d in kinds["conv1"])
