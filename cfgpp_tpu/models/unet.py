@@ -98,13 +98,16 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.quant:
-            from cfgpp_tpu.models.quant import QuantDense
-            dense = functools.partial(QuantDense, dtype=self.dtype)
-        else:
-            dense = functools.partial(nn.Dense, dtype=self.dtype,
-                                      param_dtype=self.param_dtype)
         inner = self.dim * self.mult
+        if self.quant:
+            from cfgpp_tpu.models.quant import QuantDense, QuantGEGLU
+            # fused projection + gelu epilogue: the [M, 2*inner]
+            # intermediate never round-trips HBM (kernels/int8_matmul.py)
+            x = QuantGEGLU(inner * 2, dtype=self.dtype,
+                           name="net_0_proj")(x)
+            return QuantDense(self.dim, dtype=self.dtype, name="net_2")(x)
+        dense = functools.partial(nn.Dense, dtype=self.dtype,
+                                  param_dtype=self.param_dtype)
         proj = dense(inner * 2, name="net_0_proj")(x)
         x_p, gate = jnp.split(proj, 2, axis=-1)
         # erf-based gelu (diffusers GEGLU uses non-approximate F.gelu)
