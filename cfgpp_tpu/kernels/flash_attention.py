@@ -43,8 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 LOG2E = 1.4426950408889634
-# VMEM budget for block-size selection (bytes); v5e has 16MB of VMEM but
-# Pallas double-buffers HBM blocks, so leave generous headroom.
+# VMEM budget for block-size selection (bytes); Mosaic's default scoped
+# window is 16MB but the chip physically has far more (the int8 FF kernel
+# runs with a 64MB window) — raise the ceiling and let the block picker
+# use it.  _VMEM_LIMIT is what we ask Mosaic for; _VMEM_BUDGET is the
+# picker's self-imposed cap (headroom for double-buffering).
+_VMEM_LIMIT = 64 * 1024 * 1024
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 from cfgpp_tpu.kernels.common import cdiv as _cdiv  # noqa: E402
@@ -206,7 +210,8 @@ def flash_attention_hd(
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, nq_pad, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
     if single:
@@ -286,7 +291,8 @@ def flash_attention_qkv_packed(
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, nq_pad, hd), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
     if single:

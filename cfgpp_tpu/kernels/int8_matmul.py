@@ -44,14 +44,30 @@ from jax.experimental.pallas import tpu as pltpu
 from cfgpp_tpu.kernels.common import cdiv as _cdiv
 
 
-def _kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, xq_s, sx_s, *, use_bias: bool):
+def _layernorm_f32(xf, g_ref, be_ref, eps):
+    """Token LayerNorm on the f32 row block (flax semantics: f32 stats,
+    biased variance, scale+shift)."""
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True) - mu * mu
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return xn * g_ref[0].astype(jnp.float32) + be_ref[0].astype(jnp.float32)
+
+
+def _kernel(x_ref, w_ref, ws_ref, b_ref, g_ref, be_ref, r_ref, o_ref,
+            xq_s, sx_s, *, use_bias: bool, use_ln: bool, ln_eps: float,
+            use_res: bool):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _quantize():
         # quantize this row block once; the int8 copy + scales stay in
-        # VMEM scratch for every N block (j is the sequential grid dim)
+        # VMEM scratch for every N block (j is the sequential grid dim).
+        # The optional fused LayerNorm rides the same read: its stats are
+        # row reductions over the K values already in VMEM, so the whole
+        # pre-matmul LN costs zero extra HBM traffic.
         xf = x_ref[0].astype(jnp.float32)                # [bm, K]
+        if use_ln:
+            xf = _layernorm_f32(xf, g_ref, be_ref, ln_eps)
         amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
         sx = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
         sx_s[:] = sx
@@ -63,6 +79,10 @@ def _kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, xq_s, sx_s, *, use_bias: bool):
     y = acc.astype(jnp.float32) * sx_s[:] * ws_ref[:]    # rank-1 dequant
     if use_bias:
         y = y + b_ref[:]
+    if use_res:
+        # fused residual: the add runs on the accumulator still in VMEM
+        # instead of a separate XLA elementwise pass over the output
+        y = y + r_ref[0].astype(jnp.float32)
     o_ref[0] = y.astype(o_ref.dtype)
 
 
@@ -141,15 +161,27 @@ def _pick_blocks(m: int, n: int, k: int, block_m, block_n):
     return 8, bn_opts[-1]
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("ln_eps", "block_m", "block_n",
+                                             "interpret"))
 def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
                 bias: jnp.ndarray | None = None,
+                ln_scale: jnp.ndarray | None = None,
+                ln_bias: jnp.ndarray | None = None,
+                ln_eps: float = 1e-5,
+                residual: jnp.ndarray | None = None,
                 block_m: int | None = None, block_n: int | None = None,
                 interpret: bool = False) -> jnp.ndarray:
     """x bf16/f32 [..., K] @ w_q int8 [K, N] (per-col f32 w_scale [N]) -> bf16.
 
     Per-row dynamic activation quantization happens inside the kernel; the
     result matches models/quant.py's QuantDense recipe bit-for-bit in f32.
+
+    Optional fusions (transformer-block plumbing, models/attention.py):
+    * ``ln_scale``/``ln_bias`` [K]: pre-matmul token LayerNorm computed on
+      the x block already resident in VMEM (flax `nn.LayerNorm` f32
+      semantics) — removes the norm's stat + scale HBM passes;
+    * ``residual`` [..., N]: added to the output in the dequant epilogue —
+      removes the separate elementwise residual pass.
     """
     orig_shape = x.shape
     k, n = w_q.shape
@@ -172,6 +204,8 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
 
     grid = (m_pad // bm, n // bn)
     use_bias = bias is not None
+    use_ln = ln_scale is not None
+    use_res = residual is not None
     args = [x2.reshape(m_pad // bm, bm, k), w_q,
             w_scale.astype(jnp.float32).reshape(1, n)]
     in_specs = [
@@ -185,9 +219,26 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     else:
         args.append(jnp.zeros((1, 1), jnp.float32))
         in_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0)))
+    if use_ln:
+        args += [ln_scale.reshape(1, k), ln_bias.reshape(1, k)]
+        in_specs += [pl.BlockSpec((1, k), lambda i, j: (0, 0)),
+                     pl.BlockSpec((1, k), lambda i, j: (0, 0))]
+    else:
+        args += [jnp.zeros((1, 1), jnp.float32)] * 2
+        in_specs += [pl.BlockSpec((1, 1), lambda i, j: (0, 0))] * 2
+    if use_res:
+        r2 = residual.reshape(m, n)
+        if m_pad != m:
+            r2 = jnp.pad(r2, ((0, m_pad - m), (0, 0)))
+        args.append(r2.reshape(m_pad // bm, bm, n))
+        in_specs.append(pl.BlockSpec((1, bm, bn), lambda i, j: (i, 0, j)))
+    else:
+        args.append(jnp.zeros((1, 1, 1), jnp.float32))
+        in_specs.append(pl.BlockSpec((1, 1, 1), lambda i, j: (0, 0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, use_bias=use_bias),
+        functools.partial(_kernel, use_bias=use_bias, use_ln=use_ln,
+                          ln_eps=ln_eps, use_res=use_res),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bm, bn), lambda i, j: (i, 0, j)),
@@ -202,6 +253,141 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     if m_pad != m:
         out = out[:m]
     return out.reshape(orig_shape[:-1] + (n,))
+
+
+def _ff_vmem_est(bm: int, k: int, n: int, o: int, bc: int) -> int:
+    return (bm * k * 2 * 2        # x bf16 blocks, double-buffered
+            + bm * k              # xq int8 scratch
+            + k * 2 * n           # w1 int8, resident
+            + n * o               # w2 int8, resident
+            + bm * n * 4          # h f32 scratch
+            + bm * n              # hq int8 transient
+            + bm * o * 4          # int32 acc
+            + bm * o * 2 * 2      # out bf16 blocks, double-buffered
+            + 2 * bm * bc * 8)    # stage-1 chunk transients
+
+
+@functools.partial(jax.jit, static_argnames=("ln_eps", "block_m", "block_c",
+                                             "interpret"))
+def int8_ff_geglu(x: jnp.ndarray,
+                  w1_q: jnp.ndarray, w1_scale: jnp.ndarray,
+                  bias1: jnp.ndarray | None,
+                  w2_q: jnp.ndarray, w2_scale: jnp.ndarray,
+                  bias2: jnp.ndarray | None,
+                  ln_scale: jnp.ndarray | None = None,
+                  ln_bias: jnp.ndarray | None = None,
+                  ln_eps: float = 1e-5,
+                  residual: jnp.ndarray | None = None,
+                  block_m: int | None = None, block_c: int | None = None,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Whole GEGLU feed-forward, fused: gelu-GEGLU(x @ W1 + b1) @ W2 + b2.
+
+    x [..., K]; w1_q int8 [K, 2N] (value half | gate half, diffusers
+    net_0_proj layout); w2_q int8 [N, O] (net_2).  Returns bf16 [..., O].
+    Both weights stay VMEM-resident across the 1-D row grid; the [M, N]
+    hidden state lives only in VMEM scratch (never HBM).  Hidden-state
+    activation scales are exact per-row absmax over the full N — identical
+    to what the unfused net_2 kernel computes from the bf16 intermediate,
+    except the fused path quantizes from f32 (strictly more precise).
+    """
+    orig_shape = x.shape
+    k, n2 = w1_q.shape
+    n, o = w2_q.shape
+    if n2 != 2 * n:
+        raise ValueError(f"w1 [K,{n2}] does not pack 2x w2's N={n}")
+    m = 1
+    for d in orig_shape[:-1]:
+        m *= d
+    x2 = x.reshape(m, k)
+
+    # Row block: biggest bm whose scratch fits the 64MB scoped-VMEM
+    # ceiling (weights are resident, so bm only scales the activations).
+    # Measured best (v5e sweep 2026-08-17): full-N chunks (bc=n, one value
+    # + one gate dot, no chunk loop) win at both SDXL shapes — level-2
+    # [8192,1280,5120] bm256: 1180 us = 273 TF/s (vs 1380 for the geglu +
+    # net_2 kernel pair); level-1 [32768,640,2560] bm512: 1463 us = 220
+    # TF/s (vs 1849 unfused).
+    bc = block_c or n
+    if block_m is not None:
+        bm = block_m
+    elif (m, k, n) == (8192, 1280, 5120):
+        bm = 256
+    else:
+        bm = min(512, m)
+        while bm > 8 and _ff_vmem_est(bm, k, n, o, bc) > 4 * _VMEM_BUDGET:
+            bm //= 2
+    if n % bc != 0:
+        raise ValueError(f"block_c={bc} must divide N={n}")
+    m_pad = _cdiv(m, bm) * bm
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    use_b1, use_b2 = bias1 is not None, bias2 is not None
+    args = [x2.reshape(m_pad // bm, bm, k),
+            w1_q, w1_scale.astype(jnp.float32).reshape(1, 2 * n)]
+    in_specs = [
+        pl.BlockSpec((1, bm, k), lambda i: (i, 0, 0)),
+        pl.BlockSpec((k, 2 * n), lambda i: (0, 0)),
+        pl.BlockSpec((1, 2 * n), lambda i: (0, 0)),
+    ]
+    if use_b1:
+        args.append(bias1.astype(jnp.float32).reshape(1, 2 * n))
+        in_specs.append(pl.BlockSpec((1, 2 * n), lambda i: (0, 0)))
+    else:
+        args.append(jnp.zeros((1, 1), jnp.float32))
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0)))
+    args += [w2_q, w2_scale.astype(jnp.float32).reshape(1, o)]
+    in_specs += [pl.BlockSpec((n, o), lambda i: (0, 0)),
+                 pl.BlockSpec((1, o), lambda i: (0, 0))]
+    if use_b2:
+        args.append(bias2.astype(jnp.float32).reshape(1, o))
+        in_specs.append(pl.BlockSpec((1, o), lambda i: (0, 0)))
+    else:
+        args.append(jnp.zeros((1, 1), jnp.float32))
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0)))
+    use_ln = ln_scale is not None
+    use_res = residual is not None
+    if use_ln:
+        args += [ln_scale.reshape(1, k), ln_bias.reshape(1, k)]
+        in_specs += [pl.BlockSpec((1, k), lambda i: (0, 0)),
+                     pl.BlockSpec((1, k), lambda i: (0, 0))]
+    else:
+        args += [jnp.zeros((1, 1), jnp.float32)] * 2
+        in_specs += [pl.BlockSpec((1, 1), lambda i: (0, 0))] * 2
+    if use_res:
+        r2 = residual.reshape(m, o)
+        if m_pad != m:
+            r2 = jnp.pad(r2, ((0, m_pad - m), (0, 0)))
+        args.append(r2.reshape(m_pad // bm, bm, o))
+        in_specs.append(pl.BlockSpec((1, bm, o), lambda i: (i, 0, 0)))
+    else:
+        args.append(jnp.zeros((1, 1, 1), jnp.float32))
+        in_specs.append(pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_ff, n=n, bc=bc,
+                          use_bias1=use_b1, use_bias2=use_b2,
+                          use_ln=use_ln, ln_eps=ln_eps, use_res=use_res),
+        grid=(m_pad // bm,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bm, o), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_pad // bm, bm, o), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, k), jnp.int8),
+                        pltpu.VMEM((bm, 1), jnp.float32),
+                        pltpu.VMEM((bm, n), jnp.float32),
+                        pltpu.VMEM((bm, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # both weight matrices are VMEM-resident (level-2 SDXL: 13.1 +
+            # 6.6 MB int8) on top of the activation scratch — needs the
+            # ceiling above Mosaic's 16MB default; v5e has 128MB VMEM
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    out = out.reshape(m_pad, o)
+    if m_pad != m:
+        out = out[:m]
+    return out.reshape(orig_shape[:-1] + (o,))
 
 
 def _vmem_est_geglu(bm: int, bn: int, k: int) -> int:
@@ -236,6 +422,65 @@ def _pick_blocks_geglu(m: int, n: int, k: int, block_m, block_n):
                 return bm, bn
         bm //= 2
     return 8, bn_opts[-1]
+
+
+def _kernel_ff(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+               g_ref, be_ref, r_ref, o_ref,
+               xq_s, sx_s, h_s, rmax_s, *, n: int, bc: int,
+               use_bias1: bool, use_bias2: bool, use_ln: bool,
+               ln_eps: float, use_res: bool):
+    """Whole transformer FF block in one kernel:
+       y = gelu_geglu(x @ W1 + b1) @ W2 + b2, all int8 W8A8.
+
+    Stage 1 streams the GEGLU in chunks of bc columns (value + gate dots
+    on the MXU, erf-gelu on the f32 accumulators in VMEM), tracking the
+    running per-row absmax; stage 2 requantizes the chunks in VMEM and
+    runs the second int8 dot.  The [bm, N] hidden state never touches HBM
+    — unfused, its write + read alone cost ~800 us/call at the SDXL
+    level-1 shape ([32768, 2560] bf16 = 2 x 168 MB).
+    """
+    xf = x_ref[0].astype(jnp.float32)                    # [bm, K]
+    if use_ln:
+        xf = _layernorm_f32(xf, g_ref, be_ref, ln_eps)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+    sx_s[:] = sx
+    xq_s[:] = jnp.clip(jnp.round(xf * pl.reciprocal(sx, approx=False)),
+                       -127.0, 127.0).astype(jnp.int8)
+
+    nc = n // bc
+    rmax_s[:] = jnp.full_like(rmax_s, 1e-6)
+    for j in range(nc):
+        accv = jax.lax.dot_general(
+            xq_s[:], w1_ref[:, j * bc:(j + 1) * bc],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        accg = jax.lax.dot_general(
+            xq_s[:], w1_ref[:, n + j * bc:n + (j + 1) * bc],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        v = accv.astype(jnp.float32) * sx_s[:] * s1_ref[0, j * bc:(j + 1) * bc]
+        g = accg.astype(jnp.float32) * sx_s[:] * s1_ref[0, n + j * bc:
+                                                        n + (j + 1) * bc]
+        if use_bias1:
+            v = v + b1_ref[0, j * bc:(j + 1) * bc]
+            g = g + b1_ref[0, n + j * bc:n + (j + 1) * bc]
+        h = v * (g * 0.5 * (1.0 + _erf_poly(g * (2.0 ** -0.5))))
+        rmax_s[:] = jnp.maximum(rmax_s[:],
+                                jnp.max(jnp.abs(h), axis=1, keepdims=True))
+        # the per-row scale needs ALL chunks, so park the f32 hidden chunk
+        # in VMEM scratch and requantize once after the loop
+        h_s[:, j * bc:(j + 1) * bc] = h
+
+    sh = rmax_s[:] * (1.0 / 127.0)
+    hq = jnp.clip(jnp.round(h_s[:] * pl.reciprocal(sh, approx=False)),
+                  -127.0, 127.0).astype(jnp.int8)
+    acc = jax.lax.dot_general(hq, w2_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sh * s2_ref[:]
+    if use_bias2:
+        y = y + b2_ref[:]
+    if use_res:
+        y = y + r_ref[0].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))

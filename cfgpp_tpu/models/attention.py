@@ -111,11 +111,14 @@ class Attention(nn.Module):
 
     Self-attention when ``context`` is None; cross-attention otherwise.
     q/k/v projections have no bias; the output projection does.
-    ``quant=True`` swaps the projections for int8 W8A8 `QuantDense`
-    (opt-in fast path, see models/quant.py) and fuses the self-attention
-    q/k/v projections into ONE packed ``to_qkv`` matmul — one activation
+    ``quant=True`` swaps the projections for int8 W8A8 kernels
+    (opt-in fast path, see models/quant.py): the self-attention q/k/v
+    projections fuse into ONE packed ``to_qkv`` matmul — one activation
     quantize pass instead of three, and a 3x-wider (more MXU-efficient)
-    int8 matmul; `weights/quantize.py` packs the params to match.
+    int8 matmul (`weights/quantize.py` packs the params to match) — and
+    the transformer block's pre-LayerNorm (``ln``) plus post-attention
+    residual add (``residual``) ride inside the matmul kernels instead of
+    separate XLA elementwise passes (kernels/int8_matmul.py).
     """
 
     num_heads: int
@@ -127,27 +130,72 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 mask: Optional[jnp.ndarray] = None,
+                 ln: Optional[tuple] = None,
+                 residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         ctx = x if context is None else context
         inner = self.num_heads * self.head_dim
         if self.quant:
-            from cfgpp_tpu.models.quant import QuantDense
-            dense = functools.partial(QuantDense, dtype=self.dtype)
-        else:
-            dense = functools.partial(nn.Dense, dtype=self.dtype,
-                                      param_dtype=self.param_dtype)
-        if self.quant and context is None:
-            qkv = dense(3 * inner, use_bias=False, name="to_qkv")(x)
+            return self._quant_forward(x, ctx, context is None, mask, ln,
+                                       residual)
+        if ln is not None or residual is not None:
+            raise ValueError("ln=/residual= fusion is quant-path only")
+        dense = functools.partial(nn.Dense, dtype=self.dtype,
+                                  param_dtype=self.param_dtype)
+        q = dense(inner, use_bias=False, name="to_q")(x)
+        k = dense(inner, use_bias=False, name="to_k")(ctx)
+        v = dense(inner, use_bias=False, name="to_v")(ctx)
+
+        # token-major all the way: the flash kernel blocks heads on the
+        # channel dim, so no [B,N,H,D] split / transpose is materialized
+        out = attention_hd(q, k, v, self.num_heads, mask=mask)
+        return dense(self.out_dim, use_bias=True, name="to_out")(out)
+
+    def _quant_forward(self, x, ctx, is_self, mask, ln, residual):
+        import jax
+
+        from cfgpp_tpu.models.quant import (QuantParams, layernorm_ref,
+                                            quant_dense_apply)
+        inner = self.num_heads * self.head_dim
+        dim = x.shape[-1]
+        on_tpu = jax.default_backend() == "tpu"
+        ln_s, ln_b = ln if ln is not None else (None, None)
+        if is_self:
+            wq, sq, _ = QuantParams(dim, 3 * inner, use_bias=False,
+                                    name="to_qkv")()
+            if on_tpu:
+                from cfgpp_tpu.kernels.int8_matmul import int8_matmul
+                qkv = int8_matmul(x, wq, sq, ln_scale=ln_s, ln_bias=ln_b
+                                  ).astype(self.dtype)
+            else:
+                h = x if ln is None else layernorm_ref(x, ln_s, ln_b)
+                qkv = quant_dense_apply(h, wq, sq, None, self.dtype)
             out = attention_qkv_packed(qkv, self.num_heads, mask=mask)
         else:
-            q = dense(inner, use_bias=False, name="to_q")(x)
-            k = dense(inner, use_bias=False, name="to_k")(ctx)
-            v = dense(inner, use_bias=False, name="to_v")(ctx)
-
-            # token-major all the way: the flash kernel blocks heads on the
-            # channel dim, so no [B,N,H,D] split / transpose is materialized
+            wq, sq, _ = QuantParams(dim, inner, use_bias=False, name="to_q")()
+            wk, sk, _ = QuantParams(ctx.shape[-1], inner, use_bias=False,
+                                    name="to_k")()
+            wv, sv, _ = QuantParams(ctx.shape[-1], inner, use_bias=False,
+                                    name="to_v")()
+            if on_tpu:
+                from cfgpp_tpu.kernels.int8_matmul import int8_matmul
+                q = int8_matmul(x, wq, sq, ln_scale=ln_s, ln_bias=ln_b
+                                ).astype(self.dtype)
+                k = int8_matmul(ctx, wk, sk).astype(self.dtype)
+                v = int8_matmul(ctx, wv, sv).astype(self.dtype)
+            else:
+                h = x if ln is None else layernorm_ref(x, ln_s, ln_b)
+                q = quant_dense_apply(h, wq, sq, None, self.dtype)
+                k = quant_dense_apply(ctx, wk, sk, None, self.dtype)
+                v = quant_dense_apply(ctx, wv, sv, None, self.dtype)
             out = attention_hd(q, k, v, self.num_heads, mask=mask)
-        return dense(self.out_dim, use_bias=True, name="to_out")(out)
+        wo, so, bo = QuantParams(inner, self.out_dim, name="to_out")()
+        if on_tpu:
+            from cfgpp_tpu.kernels.int8_matmul import int8_matmul
+            return int8_matmul(out, wo, so, bo, residual=residual
+                               ).astype(self.dtype)
+        y = quant_dense_apply(out, wo, so, bo, self.dtype)
+        return y if residual is None else (y + residual).astype(self.dtype)
 
 
 class CLIPAttention(nn.Module):

@@ -130,6 +130,74 @@ class QuantConv(nn.Module):
         return y.astype(self.dtype)
 
 
+class QuantParams(nn.Module):
+    """Bare int8 param holder (``kernel``/``scale``/optional ``bias``) with
+    the exact tree layout of `QuantDense` — used where a fused kernel
+    consumes several layers' params in ONE call (the FF block,
+    unet.py FeedForward -> kernels/int8_matmul.py:int8_ff_geglu) so no
+    per-layer module forward exists.  Declaring params through this module
+    keeps checkpoint trees identical across backends and fused/unfused
+    paths."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.zeros,
+                            (self.in_features, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        return kernel, scale, bias
+
+
+class LNParams(nn.Module):
+    """LayerNorm param holder (``scale``/``bias``, the `nn.LayerNorm` tree
+    layout) for the fused-LN quant path: the norm itself runs inside the
+    following int8 matmul kernel, so no module forward exists."""
+
+    dim: int
+    param_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.dim,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.dim,), self.param_dtype)
+        return scale, bias
+
+
+def layernorm_ref(x, scale, bias, eps: float = 1e-5):
+    """Token LayerNorm matching the in-kernel fused version (f32 stats,
+    biased variance) — the non-TPU fallback."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    # stays f32: the consumer is the activation quantizer, which computes
+    # in f32 anyway — matching the in-kernel fused LN exactly
+    return xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def quant_dense_apply(x, kernel, scale, bias, out_dtype):
+    """XLA W8A8 dense (the non-TPU fallback recipe shared by the quant
+    modules): per-token dynamic activation quantization, int32 dot,
+    rank-1 dequant, f32 bias."""
+    xq, sx = quantize_activation_int8(x)
+    acc = jax.lax.dot_general(
+        xq, kernel, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * scale
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 class QuantGEGLU(nn.Module):
     """Fused int8 GEGLU projection (drop-in for the ff net_0_proj Dense +
     split + gelu, unet.py:108-111).

@@ -97,15 +97,33 @@ class FeedForward(nn.Module):
     quant: bool | str = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln=None, residual=None):
         inner = self.dim * self.mult
         if self.quant:
-            from cfgpp_tpu.models.quant import QuantDense, QuantGEGLU
-            # fused projection + gelu epilogue: the [M, 2*inner]
-            # intermediate never round-trips HBM (kernels/int8_matmul.py)
-            x = QuantGEGLU(inner * 2, dtype=self.dtype,
-                           name="net_0_proj")(x)
-            return QuantDense(self.dim, dtype=self.dtype, name="net_2")(x)
+            import jax
+
+            from cfgpp_tpu.models.quant import (QuantParams, layernorm_ref,
+                                                quant_dense_apply)
+            w1, s1, b1 = QuantParams(self.dim, inner * 2,
+                                     name="net_0_proj")()
+            w2, s2, b2 = QuantParams(inner, self.dim, name="net_2")()
+            ln_s, ln_b = ln if ln is not None else (None, None)
+            if jax.default_backend() == "tpu":
+                # whole FF block in ONE kernel: pre-LN + GEGLU + erf-gelu +
+                # requantize + second dot + residual; the [M, inner] hidden
+                # state never leaves VMEM (int8_matmul.py:int8_ff_geglu)
+                from cfgpp_tpu.kernels.int8_matmul import int8_ff_geglu
+                return int8_ff_geglu(x, w1, s1, b1, w2, s2, b2,
+                                     ln_scale=ln_s, ln_bias=ln_b,
+                                     residual=residual).astype(self.dtype)
+            h = x if ln is None else layernorm_ref(x, ln_s, ln_b)
+            h = quant_dense_apply(h, w1, s1, b1, jnp.float32)
+            v, g = jnp.split(h, 2, axis=-1)
+            h = v * nn.gelu(g, approximate=False)
+            y = quant_dense_apply(h, w2, s2, b2, self.dtype)
+            return y if residual is None else (y + residual).astype(self.dtype)
+        if ln is not None or residual is not None:
+            raise ValueError("ln=/residual= fusion is quant-path only")
         dense = functools.partial(nn.Dense, dtype=self.dtype,
                                   param_dtype=self.param_dtype)
         proj = dense(inner * 2, name="net_0_proj")(x)
@@ -125,16 +143,29 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         dim = self.num_heads * self.head_dim
-        ln = functools.partial(nn.LayerNorm, epsilon=1e-5, dtype=self.dtype,
-                               param_dtype=self.param_dtype)
         attn = functools.partial(Attention, num_heads=self.num_heads,
                                  head_dim=self.head_dim, out_dim=dim,
                                  dtype=self.dtype, param_dtype=self.param_dtype,
                                  quant=self.quant)
+        ff = FeedForward(dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                         quant=self.quant, name="ff")
+        if self.quant:
+            # fused plumbing: each pre-LN runs inside the first int8 matmul
+            # of its sublayer and each residual add inside the last one, so
+            # the block's elementwise ops cost zero extra HBM passes (the
+            # LNParams holders keep the nn.LayerNorm param tree layout)
+            from cfgpp_tpu.models.quant import LNParams
+            lnp = functools.partial(LNParams, dim,
+                                    param_dtype=self.param_dtype)
+            x = attn(name="attn1")(x, ln=lnp(name="norm1")(), residual=x)
+            x = attn(name="attn2")(x, context=context,
+                                   ln=lnp(name="norm2")(), residual=x)
+            return ff(x, ln=lnp(name="norm3")(), residual=x)
+        ln = functools.partial(nn.LayerNorm, epsilon=1e-5, dtype=self.dtype,
+                               param_dtype=self.param_dtype)
         x = x + attn(name="attn1")(ln(name="norm1")(x))
         x = x + attn(name="attn2")(ln(name="norm2")(x), context=context)
-        x = x + FeedForward(dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                            quant=self.quant, name="ff")(ln(name="norm3")(x))
+        x = x + ff(ln(name="norm3")(x))
         return x
 
 
@@ -173,6 +204,22 @@ class Transformer2DModel(nn.Module):
                                       param_dtype=self.param_dtype, quant=self.quant,
                                       name=f"transformer_blocks_{i}")(x, context)
         if self.use_linear_projection:
+            if self.quant:
+                # outer residual fused into the proj_out kernel epilogue
+                import jax
+
+                from cfgpp_tpu.models.quant import (QuantParams,
+                                                    quant_dense_apply)
+                wo, so, bo = QuantParams(inner, c, name="proj_out")()
+                res = residual.reshape(b, h * w, c)
+                if jax.default_backend() == "tpu":
+                    from cfgpp_tpu.kernels.int8_matmul import int8_matmul
+                    x = int8_matmul(x, wo, so, bo, residual=res
+                                    ).astype(self.dtype)
+                else:
+                    x = (quant_dense_apply(x, wo, so, bo, self.dtype)
+                         + res).astype(self.dtype)
+                return x.reshape(b, h, w, c)
             x = dense(c, name="proj_out")(x)
             x = x.reshape(b, h, w, c)
         else:

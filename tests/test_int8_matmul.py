@@ -93,3 +93,98 @@ def test_int8_matmul_geglu_matches_recipe(m, k, n, bias, bn):
     assert got.dtype == jnp.bfloat16 and got.shape == (m, n)
     e = np.abs(np.asarray(got, np.float32) - ref)
     assert e.max() / max(np.abs(ref).max(), 1e-6) < 0.02
+
+
+@pytest.mark.parametrize("m,k,n,o,bc", [
+    (100, 256, 512, 256, 128),   # chunked stage-1, ragged M
+    (64, 320, 1280, 320, None),  # full-N single chunk (the measured-best)
+])
+def test_int8_ff_geglu_matches_two_stage(m, k, n, o, bc):
+    """Fused FF == QuantDense recipe -> exact gelu-GEGLU -> QuantDense
+    recipe, with the hidden-state requantization from f32."""
+    import math
+
+    from cfgpp_tpu.kernels.int8_matmul import int8_ff_geglu
+    from cfgpp_tpu.models.quant import quantize_activation_int8
+    rng = np.random.default_rng(m + n)
+    x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.float32)
+    w1q, w1s = quantize_kernel_int8(rng.normal(0, 0.05, (k, 2 * n)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(0, 0.1, (2 * n,)), jnp.float32)
+    w2q, w2s = quantize_kernel_int8(rng.normal(0, 0.05, (n, o)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(0, 0.1, (o,)), jnp.float32)
+
+    proj = np.asarray(xla_ref(x, w1q, w1s, b1), np.float32)
+    v, g = proj[:, :n], proj[:, n:]
+    h = v * (g * 0.5 * (1.0 + np.vectorize(math.erf)(g / np.sqrt(2.0))))
+    hq, sh = quantize_activation_int8(jnp.asarray(h))
+    acc = jax.lax.dot_general(hq, w2q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    ref = np.asarray(acc.astype(jnp.float32) * sh * w2s + b2)
+
+    got = int8_ff_geglu(x, w1q, w1s, b1, w2q, w2s, b2, block_c=bc,
+                        interpret=True)
+    assert got.dtype == jnp.bfloat16 and got.shape == (m, o)
+    e = np.abs(np.asarray(got, np.float32) - ref)
+    assert e.max() / max(np.abs(ref).max(), 1e-6) < 0.02
+
+
+def test_int8_matmul_fused_ln_and_residual():
+    """ln_scale/ln_bias + residual fusion == layernorm_ref -> recipe -> add.
+
+    The fused pre-LN must match models/quant.py:layernorm_ref (the non-TPU
+    fallback the quant transformer block uses), and the fused residual must
+    add in f32 before the bf16 cast.
+    """
+    from cfgpp_tpu.models.quant import layernorm_ref
+    rng = np.random.default_rng(7)
+    m, k, n = 100, 320, 512
+    x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.bfloat16)
+    wq, ws = quantize_kernel_int8(rng.normal(0, 0.05, (k, n)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, (n,)), jnp.float32)
+    g = jnp.asarray(rng.normal(1, 0.1, (k,)), jnp.bfloat16)
+    be = jnp.asarray(rng.normal(0, 0.1, (k,)), jnp.bfloat16)
+    res = jnp.asarray(rng.normal(0, 1, (m, n)), jnp.bfloat16)
+
+    h = layernorm_ref(x, g, be)
+    ref = (xla_ref(h, jnp.asarray(wq), jnp.asarray(ws), b).astype(jnp.float32)
+           + res.astype(jnp.float32))
+    got = int8_matmul(x, jnp.asarray(wq), jnp.asarray(ws), b,
+                      ln_scale=g, ln_bias=be, residual=res, interpret=True)
+    assert got.dtype == jnp.bfloat16 and got.shape == (m, n)
+    e = np.abs(np.asarray(got, np.float32) - np.asarray(ref, np.float32))
+    assert e.max() / np.abs(np.asarray(ref, np.float32)).max() < 0.02
+
+
+def test_int8_ff_geglu_fused_ln_and_residual():
+    """Whole-FF kernel with pre-LN + residual == fallback composition
+    (layernorm_ref -> quant GEGLU recipe -> quant dense -> residual add)."""
+    import math
+
+    from cfgpp_tpu.kernels.int8_matmul import int8_ff_geglu
+    from cfgpp_tpu.models.quant import layernorm_ref
+    rng = np.random.default_rng(11)
+    m, k, n, o = 64, 320, 1280, 320
+    x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.bfloat16)
+    w1q, w1s = quantize_kernel_int8(rng.normal(0, 0.05, (k, 2 * n)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(0, 0.1, (2 * n,)), jnp.float32)
+    w2q, w2s = quantize_kernel_int8(rng.normal(0, 0.05, (n, o)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(0, 0.1, (o,)), jnp.float32)
+    g = jnp.asarray(rng.normal(1, 0.1, (k,)), jnp.bfloat16)
+    be = jnp.asarray(rng.normal(0, 0.1, (k,)), jnp.bfloat16)
+    res = jnp.asarray(rng.normal(0, 1, (m, o)), jnp.bfloat16)
+
+    hx = layernorm_ref(x, g, be)
+    proj = np.asarray(xla_ref(hx, w1q, w1s, b1), np.float32)
+    v, gg = proj[:, :n], proj[:, n:]
+    h = v * (gg * 0.5 * (1.0 + np.vectorize(math.erf)(gg / np.sqrt(2.0))))
+    hq, sh = quantize_activation_int8(jnp.asarray(h))
+    acc = jax.lax.dot_general(hq, w2q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    ref = (np.asarray(acc.astype(jnp.float32) * sh * w2s + b2)
+           + np.asarray(res, np.float32))
+
+    got = int8_ff_geglu(x, w1q, w1s, b1, w2q, w2s, b2,
+                        ln_scale=g, ln_bias=be, residual=res, interpret=True)
+    assert got.dtype == jnp.bfloat16 and got.shape == (m, o)
+    e = np.abs(np.asarray(got, np.float32) - ref)
+    assert e.max() / max(np.abs(ref).max(), 1e-6) < 0.03
