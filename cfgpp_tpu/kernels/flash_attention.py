@@ -26,7 +26,17 @@ Design notes (all measured on TPU v5e):
 * **Masked kv padding.**  kv is padded to the lane tile and masked with an
   iota compare, which admits cross-attention (kv=77) and any ragged N —
   the einsum path's f32 [B,H,N,77] logits (plus their HBM traffic)
-  disappear into the kernel.
+  disappear into the kernel.  ``kv_len`` lets the caller pre-pad k/v once
+  (the UNet pads the 77-token context per forward, not per site).
+* **Block-size ceiling (measured, do not re-sweep).**  With the Mosaic
+  VMEM window raised to 64MB, larger q blocks at the SDXL shapes change
+  nothing: l1-self [8,4096,640] bq 256(auto)/512 both 83 TF/s, bq=1024
+  81, bq=2048 69, bq=4096 fails to compile; l2-self [8,1024,1280]
+  flat at 69-70 TF/s for bq 512-1024 (sweep 2026-08-17).  The kernel is
+  VPU-bound (max/exp2/sum/divide passes over [bq, bkv]) on top of an MXU
+  running at 50% duty at D=64 (64-deep contraction on the 128-wide
+  array), so ~83 of the ~98 TF/s practical ceiling is what block tuning
+  can reach; the remaining levers are algorithmic (int8 p@v), not tiling.
 
 Reference hot-path: `latent_diffusion.py:152-155` (the batch-2 UNet call
 whose attention layers this kernel serves).
@@ -69,6 +79,37 @@ def _kernel_single(q_ref, k_ref, v_ref, o_ref, *, kv_len, bkv, d, hpb,
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m).astype(v.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        o_ref[0, :, j * d:(j + 1) * d] = (pv / l).astype(o_ref.dtype)
+
+
+def _kernel_single_int8(qq_ref, kq_ref, v_ref, sq_ref, sk_ref,
+                        o_ref, *, kv_len, bkv, d, hpb):
+    """Single-pass attention with the score dot on the int8 MXU (394 TOPS).
+
+    q/k arrive quantized per (token, head) by `flash_attention_hd_int8`;
+    the logits dequantize by the rank-1 scale product (sq folds the
+    softmax scale and log2 e).  p@v deliberately stays bf16: quantizing
+    the probability matrix at int8 resolution measured up to 16% relative
+    output error on flat softmax rows (N=1024 — the 1/127 step is too
+    coarse for many small p), while int8 q@k alone stays < 1%.
+    """
+    for j in range(hpb):
+        qj = qq_ref[0, :, j * d:(j + 1) * d]              # int8 [bq, d]
+        kj = kq_ref[0, :, j * d:(j + 1) * d]              # int8 [bkv, d]
+        acc = jax.lax.dot_general(qj, kj, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        # rank-1 dequant; sq already folds the softmax scale and log2(e)
+        s = (acc.astype(jnp.float32) * sq_ref[0, :, j:j + 1]
+             * sk_ref[0, j][None, :])
+        if kv_len % bkv:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        v = v_ref[0, :, j * d:(j + 1) * d]
         p = jnp.exp2(s - m).astype(v.dtype)
         l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
         pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
@@ -159,19 +200,31 @@ def _pick_blocks(nq: int, nkv_pad: int, d: int, hpb: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "block_q", "block_kv", "interpret"))
+    static_argnames=("num_heads", "kv_len", "block_q", "block_kv",
+                     "interpret"))
 def flash_attention_hd(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     num_heads: int,
+    kv_len: int | None = None,
     block_q: int | None = None,
     block_kv: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """q: [B, Nq, H*D], k/v: [B, Nkv, H*D] -> [B, Nq, H*D].  Non-causal."""
+    """q: [B, Nq, H*D], k/v: [B, Nkv, H*D] -> [B, Nq, H*D].  Non-causal.
+
+    ``kv_len``: true valid kv length when k/v arrive pre-padded to the
+    lane tile (the UNet pads the 77-token cross-attention context ONCE per
+    forward instead of letting every site pad its own k/v projections —
+    saves ~140 pad ops/step); rows >= kv_len are masked out exactly like
+    in-kernel padding.
+    """
     b, nq, hd = q.shape
-    nkv = k.shape[1]
+    nkv_in = k.shape[1]                       # physical rows (maybe pre-padded)
+    nkv = kv_len if kv_len is not None else nkv_in   # logical valid rows
+    if nkv > nkv_in:
+        raise ValueError(f"kv_len={nkv} exceeds k rows {nkv_in}")
     d = hd // num_heads
     if hd % num_heads:
         raise ValueError(f"channel dim {hd} not divisible by {num_heads} heads")
@@ -182,7 +235,7 @@ def flash_attention_hd(
     # cheap elementwise op that XLA fuses into the producing matmul
     q = q * jnp.asarray(d ** -0.5 * LOG2E, q.dtype)
 
-    nkv_pad = _cdiv(nkv, 128) * 128
+    nkv_pad = _cdiv(nkv_in, 128) * 128
     auto_bq, auto_bkv, single = _pick_blocks(nq, nkv_pad, d, hpb)
     bq = block_q or auto_bq
     bkv = block_kv or auto_bkv
@@ -192,9 +245,9 @@ def flash_attention_hd(
     nkv_pad = _cdiv(nkv_pad, bkv) * bkv
     if nq_pad != nq:
         q = jnp.pad(q, [(0, 0), (0, nq_pad - nq), (0, 0)])
-    if nkv_pad != nkv:
-        k = jnp.pad(k, [(0, 0), (0, nkv_pad - nkv), (0, 0)])
-        v = jnp.pad(v, [(0, 0), (0, nkv_pad - nkv), (0, 0)])
+    if nkv_pad != nkv_in:
+        k = jnp.pad(k, [(0, 0), (0, nkv_pad - nkv_in), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, nkv_pad - nkv_in), (0, 0)])
 
     nh = num_heads // hpb
     grid = (b * nh, nq_pad // bq, nkv_pad // bkv)
@@ -228,6 +281,180 @@ def flash_attention_hd(
             ])(q, k, v)
     if nq_pad != nq:
         out = out[:, :nq]
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "kv_len", "block_q", "interpret"))
+def flash_attention_hd_int8(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    kv_len: int | None = None,
+    block_q: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Int8-score attention: q/k/v [B, N, H*D] -> [B, Nq, H*D], non-causal.
+
+    Opt-in fast path for the quantized model (models/quant.py): the
+    logits dot runs on the int8 MXU at 2x the bf16 peak (q and k
+    quantized per (token, head) by XLA passes that fuse with the
+    producing projections); p@v stays bf16 for accuracy (see
+    `_kernel_single_int8`).  Requires the whole kv sequence in one block
+    (true for every UNet attention site: N <= 4096); falls back to the
+    bf16 kernel otherwise.
+
+    Numerics: < 1% max relative error vs the exact softmax on N(0,1)
+    inputs — same order as the W8A8 matmuls elsewhere in the quant path.
+    """
+    b, nq, hd = q.shape
+    nkv_in = k.shape[1]
+    nkv = kv_len if kv_len is not None else nkv_in
+    d = hd // num_heads
+    h = num_heads
+    if hd % num_heads:
+        raise ValueError(f"channel dim {hd} not divisible by {num_heads} heads")
+    hpb = heads_per_block(num_heads, d)
+    ld = hpb * d
+    nh = num_heads // hpb
+
+    nkv_pad = _cdiv(nkv_in, 128) * 128
+    auto_bq, auto_bkv, single = _pick_blocks(nq, nkv_pad, d, hpb)
+    if not (single and auto_bkv == nkv_pad):
+        return flash_attention_hd(q, k, v, num_heads, kv_len=kv_len,
+                                  interpret=interpret)
+    bq = block_q or auto_bq
+
+    def quant_rows(x, scale_extra=1.0):
+        xh = x.reshape(b, -1, h, d).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xh), axis=-1)               # [B, N, H]
+        s = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+        xq = jnp.clip(jnp.round(xh / s[..., None]), -127.0, 127.0
+                      ).astype(jnp.int8)
+        return xq.reshape(b, -1, hd), s * scale_extra
+
+    qq, sq = quant_rows(q, d ** -0.5 * LOG2E)   # scale+log2e fold into sq
+    kq, sk = quant_rows(k)
+    v = v.astype(jnp.bfloat16)
+    sk = sk.transpose(0, 2, 1)                             # [B, H, Nkv]
+
+    nq_pad = _cdiv(nq, bq) * bq
+    if nq_pad != nq:
+        qq = jnp.pad(qq, [(0, 0), (0, nq_pad - nq), (0, 0)])
+        sq = jnp.pad(sq, [(0, 0), (0, nq_pad - nq), (0, 0)],
+                     constant_values=1.0)
+    if nkv_pad != nkv_in:
+        kq = jnp.pad(kq, [(0, 0), (0, nkv_pad - nkv_in), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, nkv_pad - nkv_in), (0, 0)])
+        sk = jnp.pad(sk, [(0, 0), (0, 0), (0, nkv_pad - nkv_in)],
+                     constant_values=1.0)
+    bkv = nkv_pad
+
+    grid = (b * nh, nq_pad // bq, 1)
+    in_specs = [
+        pl.BlockSpec((1, bq, ld), lambda g, iq, ik, n=nh: (g // n, iq, g % n)),
+        pl.BlockSpec((1, bkv, ld), lambda g, iq, ik, n=nh: (g // n, 0, g % n)),
+        pl.BlockSpec((1, bkv, ld), lambda g, iq, ik, n=nh: (g // n, 0, g % n)),
+        pl.BlockSpec((1, bq, hpb), lambda g, iq, ik, n=nh: (g // n, iq, g % n)),
+        pl.BlockSpec((1, hpb, bkv), lambda g, iq, ik, n=nh: (g // n, g % n, 0)),
+    ]
+    out = pl.pallas_call(
+        functools.partial(_kernel_single_int8, kv_len=nkv, bkv=bkv, d=d,
+                          hpb=hpb),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, ld),
+                               lambda g, iq, ik, n=nh: (g // n, iq, g % n)),
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, hd), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(qq, kq, v, sq, sk)
+    if nq_pad != nq:
+        out = out[:, :nq]
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "block_q", "interpret"))
+def flash_attention_qkv_packed_int8(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    block_q: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Int8-score self-attention on a packed [B, N, 3*H*D] qkv projection.
+
+    Same recipe as `flash_attention_hd_int8` (int8 MXU logits dot, bf16
+    p@v); q/k quantize from channel slices of the pack (the slices fuse
+    into the quantize passes), while v is read by the kernel as a
+    channel-offset BlockSpec view of the pack itself — no v copy.
+    """
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // num_heads
+    h = num_heads
+    if hd3 % 3 or hd % num_heads:
+        raise ValueError(f"packed channel dim {hd3} not 3*H*D for H={num_heads}")
+    hpb = heads_per_block(num_heads, d)
+    ld = hpb * d
+    nh = num_heads // hpb
+
+    nkv_pad = _cdiv(n, 128) * 128
+    auto_bq, auto_bkv, single = _pick_blocks(n, nkv_pad, d, hpb)
+    if not (single and auto_bkv == nkv_pad) or n % 128:
+        return flash_attention_qkv_packed(qkv, num_heads, block_q=block_q,
+                                          interpret=interpret)
+    bq = block_q or auto_bq
+    bkv = nkv_pad
+
+    def quant_rows(x, scale_extra=1.0):
+        xh = x.reshape(b, n, h, d).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xh), axis=-1)               # [B, N, H]
+        s = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+        xq = jnp.clip(jnp.round(xh / s[..., None]), -127.0, 127.0
+                      ).astype(jnp.int8)
+        return xq.reshape(b, n, hd), s * scale_extra
+
+    qq, sq = quant_rows(qkv[:, :, :hd], d ** -0.5 * LOG2E)
+    kq, sk = quant_rows(qkv[:, :, hd:2 * hd])
+    sk = sk.transpose(0, 2, 1)                             # [B, H, Nkv]
+
+    nq_pad = _cdiv(n, bq) * bq
+    if nq_pad != n:
+        qq = jnp.pad(qq, [(0, 0), (0, nq_pad - n), (0, 0)])
+        sq = jnp.pad(sq, [(0, 0), (0, nq_pad - n), (0, 0)],
+                     constant_values=1.0)
+
+    grid = (b * nh, nq_pad // bq, 1)
+    in_specs = [
+        pl.BlockSpec((1, bq, ld), lambda g, iq, ik, n_=nh: (g // n_, iq, g % n_)),
+        pl.BlockSpec((1, bkv, ld), lambda g, iq, ik, n_=nh: (g // n_, 0, g % n_)),
+        # v read straight out of the pack at channel offset 2*H*D
+        pl.BlockSpec((1, bkv, ld),
+                     lambda g, iq, ik, n_=nh: (g // n_, 0, 2 * n_ + g % n_)),
+        pl.BlockSpec((1, bq, hpb), lambda g, iq, ik, n_=nh: (g // n_, iq, g % n_)),
+        pl.BlockSpec((1, hpb, bkv), lambda g, iq, ik, n_=nh: (g // n_, g % n_, 0)),
+    ]
+    out = pl.pallas_call(
+        functools.partial(_kernel_single_int8, kv_len=n, bkv=bkv, d=d,
+                          hpb=hpb),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, ld),
+                               lambda g, iq, ik, n_=nh: (g // n_, iq, g % n_)),
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, hd), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(qq, kq, qkv, sq, sk)
+    if nq_pad != n:
+        out = out[:, :n]
     return out
 
 

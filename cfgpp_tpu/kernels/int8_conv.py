@@ -51,8 +51,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(xp_ref, xc_ref, xn_ref, w_ref, ws_ref, b_ref, o_ref,
-            xq_s, sx_s, *, use_bias: bool, h_blocks: int):
+def _kernel(xp_ref, xc_ref, xn_ref, w_ref, ws_ref, b_ref, gs_ref, gb_ref,
+            r_ref, o_ref, xq_s, sx_s, *, use_bias: bool, use_gn: bool,
+            use_res: bool, h_blocks: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     br = o_ref.shape[1]
@@ -66,6 +67,20 @@ def _kernel(xp_ref, xc_ref, xn_ref, w_ref, ws_ref, b_ref, o_ref,
         xf = jnp.concatenate(
             [xp_ref[0, br - 1:br], xc_ref[0], xn_ref[0, 0:1]],
             axis=0).astype(jnp.float32)                   # [br+2, Wp, C]
+        if use_gn:
+            # fused GroupNorm(+time-emb)+SiLU prologue: the caller collapses
+            # norm (and the per-(sample,channel) time-emb add) into ONE
+            # affine x*s+b per sample (models/quant.py:groupnorm_silu_
+            # coeffs), so the whole prologue is VPU work on the window
+            # already resident in VMEM.  The halo rows belong to the same
+            # sample (row blocks never span samples), so one coefficient
+            # row serves the full window.  The HBM zero-pad columns become
+            # silu(b) != 0 after the affine, so re-zero them below.
+            xf = xf * gs_ref[0] + gb_ref[0]
+            xf = xf * jax.nn.sigmoid(xf)
+            cols = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1)
+            xf = jnp.where(
+                jnp.logical_and(cols > 0, cols < xf.shape[1] - 1), xf, 0.0)
         first = (i % h_blocks) == 0                       # block starts at h==0
         last = ((i + 1) % h_blocks) == 0                  # block ends at h==H-1
         rows = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0)
@@ -103,7 +118,12 @@ def _kernel(xp_ref, xc_ref, xn_ref, w_ref, ws_ref, b_ref, o_ref,
     y = acc.astype(jnp.float32) * sx_s[0, 0] * ws_ref[:]  # rank-1 dequant
     if use_bias:
         y = y + b_ref[:]
-    o_ref[0] = y.reshape(br, w_out, bo).astype(o_ref.dtype)
+    y = y.reshape(br, w_out, bo)
+    if use_res:
+        # fused resnet skip: the add runs on the accumulator still in VMEM
+        # instead of a separate XLA elementwise pass over the output
+        y = y + r_ref[0].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 # VMEM ceiling for block selection, calibrated against measured v5e
@@ -204,6 +224,9 @@ def int8_conv3x3_supported(x_shape, strides, padding, o: int | None = None
 @functools.partial(jax.jit, static_argnames=("block_rows", "block_o", "interpret"))
 def int8_conv3x3(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
                  bias: jnp.ndarray | None = None,
+                 gn_scale: jnp.ndarray | None = None,
+                 gn_bias: jnp.ndarray | None = None,
+                 residual: jnp.ndarray | None = None,
                  block_rows: int | None = None, block_o: int | None = None,
                  interpret: bool = False) -> jnp.ndarray:
     """x bf16/f32 NHWC [B,H,W,C] * w_q int8 [3,3,C,O] (per-channel f32
@@ -211,6 +234,15 @@ def int8_conv3x3(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
 
     Per-row-window dynamic activation quantization happens inside the
     kernel (see module docstring for the scale granularity argument).
+
+    ``gn_scale``/``gn_bias`` f32 [B, C]: optional fused
+    GroupNorm(+time-emb)+SiLU prologue — the kernel computes
+    ``silu(x * gn_scale + gn_bias)`` on the VMEM-resident window before
+    quantizing (coefficients from models/quant.py:groupnorm_silu_coeffs),
+    removing the norm's normalize+silu write/read of the full activation.
+
+    ``residual`` [B,H,W,O]: optional fused skip add in the dequant
+    epilogue (the resnet ``x + h``), removing its elementwise pass.
     """
     b, h, w, c = x.shape
     kh, kw, wc, o = w_q.shape
@@ -249,9 +281,28 @@ def int8_conv3x3(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     else:
         args.append(jnp.zeros((1, 1), jnp.float32))
         in_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0)))
+    use_gn = gn_scale is not None
+    if use_gn:
+        # one coefficient row per row block (each sample owns h//br blocks)
+        gs = jnp.repeat(gn_scale.astype(jnp.float32), h_blocks, axis=0)
+        gb = jnp.repeat(gn_bias.astype(jnp.float32), h_blocks, axis=0)
+        args += [gs.reshape(nb, 1, c), gb.reshape(nb, 1, c)]
+        in_specs += [pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+                     pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0))]
+    else:
+        args += [jnp.zeros((1, 1, 1), jnp.float32)] * 2
+        in_specs += [pl.BlockSpec((1, 1, 1), lambda i, j: (0, 0, 0))] * 2
+    use_res = residual is not None
+    if use_res:
+        args.append(residual.reshape(nb, br, w, o))
+        in_specs.append(pl.BlockSpec((1, br, w, bo), lambda i, j: (i, 0, 0, j)))
+    else:
+        args.append(jnp.zeros((1, 1, 1, 1), jnp.float32))
+        in_specs.append(pl.BlockSpec((1, 1, 1, 1), lambda i, j: (0, 0, 0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, use_bias=use_bias, h_blocks=h_blocks),
+        functools.partial(_kernel, use_bias=use_bias, use_gn=use_gn,
+                          use_res=use_res, h_blocks=h_blocks),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, br, w, bo), lambda i, j: (i, 0, 0, j)),
@@ -270,15 +321,21 @@ def int8_conv3x3(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     return out.reshape(b, h, w, o)
 
 
-def int8_conv3x3_reference(x, w_q, w_scale, bias=None, block_rows=None):
+def int8_conv3x3_reference(x, w_q, w_scale, bias=None, gn_scale=None,
+                           gn_bias=None, residual=None, block_rows=None):
     """Pure-jnp oracle replicating the kernel's exact recipe — per-(sample,
-    row-window) scale, int32 accumulation — for bitwise comparison in tests
-    (an f32 conv oracle would NOT be exact: int8 products at C>=128 exceed
-    the f32 mantissa)."""
+    row-window) scale, int32 accumulation, gn/residual fusions in f32 —
+    for bitwise comparison in tests (an f32 conv oracle would NOT be
+    exact: int8 products at C>=128 exceed the f32 mantissa)."""
     b, h, w, c = x.shape
     o = w_q.shape[-1]
     br = block_rows or _pick_blocks(h, w, c, o)[0]
-    xf = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (1, 1), (0, 0)))
+    xf = x.astype(jnp.float32)
+    if gn_scale is not None:
+        xf = xf * gn_scale.astype(jnp.float32)[:, None, None, :] \
+            + gn_bias.astype(jnp.float32)[:, None, None, :]
+        xf = xf * jax.nn.sigmoid(xf)
+    xf = jnp.pad(xf, ((0, 0), (0, 0), (1, 1), (0, 0)))
     wq = w_q.astype(jnp.int32)
     zero_row = jnp.zeros((w + 2, c), jnp.float32)
     outs = []
@@ -287,7 +344,10 @@ def int8_conv3x3_reference(x, w_q, w_scale, bias=None, block_rows=None):
         win = jnp.stack([xf[bi, hh] if 0 <= hh < h else zero_row
                          for hh in range(h0 - 1, h0 + br + 1)])  # [br+2,Wp,C]
         sx = jnp.maximum(jnp.max(jnp.abs(win)), 1e-6) / 127.0
-        xq = jnp.clip(jnp.round(win / sx), -127.0, 127.0).astype(jnp.int32)
+        # multiply by the reciprocal exactly like the kernel: win/sx differs
+        # from win*(1/sx) in the last ulp, which can flip a round() tie
+        xq = jnp.clip(jnp.round(win * (1.0 / sx)), -127.0, 127.0
+                      ).astype(jnp.int32)
         acc = jnp.zeros((br, w, o), jnp.int32)
         for dh in range(3):
             for dw in range(3):
@@ -297,4 +357,7 @@ def int8_conv3x3_reference(x, w_q, w_scale, bias=None, block_rows=None):
         if bias is not None:
             y = y + bias.astype(jnp.float32)
         outs.append(y)
-    return jnp.stack(outs).reshape(b, h, w, o).astype(jnp.bfloat16)
+    out = jnp.stack(outs).reshape(b, h, w, o)
+    if residual is not None:
+        out = out + residual.astype(jnp.float32)
+    return out.astype(jnp.bfloat16)

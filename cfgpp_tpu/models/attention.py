@@ -62,20 +62,31 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def attention_hd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                  num_heads: int,
                  mask: Optional[jnp.ndarray] = None,
+                 kv_len: Optional[int] = None,
+                 int8_score: bool = False,
                  force_impl: Optional[str] = None) -> jnp.ndarray:
     """Attention on token-major [B, N, H*D] activations (projection layout).
 
     The flash path consumes this layout natively — no [B,N,H,D] head split,
     no N<->H transposes (which cost 4 HBM round-trips per site on the old
     kernel path).  The einsum fallback reshapes (free) and head-splits.
+
+    ``kv_len``: true valid kv rows when k/v come from a lane-tile-padded
+    context (unet.py pads the 77-token cross-attn context once per
+    forward); the flash kernel masks the tail, the einsum path slices it.
     """
     d = q.shape[-1] // num_heads
     impl = force_impl
     if impl is None:
         impl = "flash" if (mask is None and _use_flash(q.shape[1], k.shape[1], d)) else "xla"
     if impl == "flash":
-        from cfgpp_tpu.kernels.flash_attention import flash_attention_hd
-        return flash_attention_hd(q, k, v, num_heads)
+        from cfgpp_tpu.kernels.flash_attention import (flash_attention_hd,
+                                                       flash_attention_hd_int8)
+        if int8_score:
+            return flash_attention_hd_int8(q, k, v, num_heads, kv_len=kv_len)
+        return flash_attention_hd(q, k, v, num_heads, kv_len=kv_len)
+    if kv_len is not None and kv_len != k.shape[1]:
+        k, v = k[:, :kv_len], v[:, :kv_len]
     b, n, hd = q.shape
     m = k.shape[1]
     out = sdpa_xla(q.reshape(b, n, num_heads, d), k.reshape(b, m, num_heads, d),
@@ -85,6 +96,7 @@ def attention_hd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def attention_qkv_packed(qkv: jnp.ndarray, num_heads: int,
                          mask: Optional[jnp.ndarray] = None,
+                         int8_score: bool = False,
                          force_impl: Optional[str] = None) -> jnp.ndarray:
     """Self-attention on a packed [B, N, 3*H*D] qkv projection.
 
@@ -97,7 +109,10 @@ def attention_qkv_packed(qkv: jnp.ndarray, num_heads: int,
     if impl is None:
         impl = "flash" if (mask is None and _use_flash(qkv.shape[1], qkv.shape[1], d)) else "xla"
     if impl == "flash":
-        from cfgpp_tpu.kernels.flash_attention import flash_attention_qkv_packed
+        from cfgpp_tpu.kernels.flash_attention import (
+            flash_attention_qkv_packed, flash_attention_qkv_packed_int8)
+        if int8_score:
+            return flash_attention_qkv_packed_int8(qkv, num_heads)
         return flash_attention_qkv_packed(qkv, num_heads)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     b, n, _ = qkv.shape
@@ -131,13 +146,14 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None,
+                 kv_len: Optional[int] = None,
                  ln: Optional[tuple] = None,
                  residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         ctx = x if context is None else context
         inner = self.num_heads * self.head_dim
         if self.quant:
-            return self._quant_forward(x, ctx, context is None, mask, ln,
-                                       residual)
+            return self._quant_forward(x, ctx, context is None, mask, kv_len,
+                                       ln, residual)
         if ln is not None or residual is not None:
             raise ValueError("ln=/residual= fusion is quant-path only")
         dense = functools.partial(nn.Dense, dtype=self.dtype,
@@ -148,10 +164,10 @@ class Attention(nn.Module):
 
         # token-major all the way: the flash kernel blocks heads on the
         # channel dim, so no [B,N,H,D] split / transpose is materialized
-        out = attention_hd(q, k, v, self.num_heads, mask=mask)
+        out = attention_hd(q, k, v, self.num_heads, mask=mask, kv_len=kv_len)
         return dense(self.out_dim, use_bias=True, name="to_out")(out)
 
-    def _quant_forward(self, x, ctx, is_self, mask, ln, residual):
+    def _quant_forward(self, x, ctx, is_self, mask, kv_len, ln, residual):
         import jax
 
         from cfgpp_tpu.models.quant import (QuantParams, layernorm_ref,
@@ -170,7 +186,11 @@ class Attention(nn.Module):
             else:
                 h = x if ln is None else layernorm_ref(x, ln_s, ln_b)
                 qkv = quant_dense_apply(h, wq, sq, None, self.dtype)
-            out = attention_qkv_packed(qkv, self.num_heads, mask=mask)
+            # int8-score attention: the logits dot rides the int8 MXU too
+            # (< 1% relative error, kernels/flash_attention.py); opt-in
+            # with the full-coverage quant mode
+            out = attention_qkv_packed(qkv, self.num_heads, mask=mask,
+                                       int8_score=self.quant in (True, "all"))
         else:
             wq, sq, _ = QuantParams(dim, inner, use_bias=False, name="to_q")()
             wk, sk, _ = QuantParams(ctx.shape[-1], inner, use_bias=False,
@@ -188,7 +208,9 @@ class Attention(nn.Module):
                 q = quant_dense_apply(h, wq, sq, None, self.dtype)
                 k = quant_dense_apply(ctx, wk, sk, None, self.dtype)
                 v = quant_dense_apply(ctx, wv, sv, None, self.dtype)
-            out = attention_hd(q, k, v, self.num_heads, mask=mask)
+            out = attention_hd(q, k, v, self.num_heads, mask=mask,
+                               kv_len=kv_len,
+                               int8_score=self.quant in (True, "all"))
         wo, so, bo = QuantParams(inner, self.out_dim, name="to_out")()
         if on_tpu:
             from cfgpp_tpu.kernels.int8_matmul import int8_matmul

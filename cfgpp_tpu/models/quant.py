@@ -91,7 +91,8 @@ class QuantConv(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, gn_scale=None, gn_bias=None,
+                 residual=None) -> jnp.ndarray:
         kh, kw = self.kernel_size
         kernel = self.param("kernel", nn.initializers.zeros,
                             (kh, kw, x.shape[-1], self.features), jnp.int8)
@@ -104,13 +105,26 @@ class QuantConv(nn.Module):
             from cfgpp_tpu.kernels.int8_conv import (int8_conv3x3,
                                                      int8_conv3x3_supported)
             from cfgpp_tpu.kernels.int8_matmul import int8_matmul
+            if (kh, kw) == (3, 3) and int8_conv3x3_supported(
+                    x.shape, self.strides, self.padding, self.features):
+                return int8_conv3x3(x, kernel, scale, bias,
+                                    gn_scale=gn_scale, gn_bias=gn_bias,
+                                    residual=residual).astype(self.dtype)
+            if gn_scale is not None:
+                # prologue in XLA only when the fused-kernel route is out
+                x = x.astype(jnp.float32) * gn_scale[:, None, None, :] \
+                    + gn_bias[:, None, None, :]
+                x = nn.silu(x)
             if (kh, kw) == (1, 1) and self.strides in ((1, 1), None):
                 y = int8_matmul(x, kernel.reshape(x.shape[-1], self.features),
                                 scale, bias)
+                if residual is not None:
+                    y = y + residual
                 return y.astype(self.dtype)
-            if (kh, kw) == (3, 3) and int8_conv3x3_supported(
-                    x.shape, self.strides, self.padding, self.features):
-                return int8_conv3x3(x, kernel, scale, bias).astype(self.dtype)
+        elif gn_scale is not None:
+            x = x.astype(jnp.float32) * gn_scale[:, None, None, :] \
+                + gn_bias[:, None, None, :]
+            x = nn.silu(x)
         # Fallback: dequantize the weights and run ONE bf16/f32 conv.  NOT
         # the XLA W8A8 recipe — its per-sample absmax, quantize write and
         # int32->f32 dequant each cost a full-activation HBM pass (that
@@ -127,6 +141,8 @@ class QuantConv(nn.Module):
             preferred_element_type=jnp.float32)
         if bias is not None:
             y = y + bias
+        if residual is not None:
+            y = y + residual.astype(jnp.float32)
         return y.astype(self.dtype)
 
 
@@ -170,6 +186,45 @@ class LNParams(nn.Module):
         bias = self.param("bias", nn.initializers.zeros,
                           (self.dim,), self.param_dtype)
         return scale, bias
+
+
+def groupnorm_silu_coeffs(x, gamma, beta, groups: int,
+                          temb=None, eps: float = 1e-5):
+    """Collapse ``GroupNorm(x + temb) * gamma + beta`` into ONE per-
+    (sample, channel) affine ``x * s + b`` (SiLU applied downstream by the
+    consumer, e.g. in kernels/int8_conv.py's fused prologue).
+
+    The group statistics of ``x + temb`` (temb per (sample, channel),
+    broadcast over space — the resnet time-emb add, unet.py:83) follow
+    from per-channel moments of x alone:
+      E[(x_c+t_c)]   = E[x_c] + t_c
+      E[(x_c+t_c)^2] = E[x_c^2] + 2 t_c E[x_c] + t_c^2
+    so the full-tensor add never has to materialize.  Cost: one fused
+    reduce pass over x (the stats read XLA would do anyway) + [B, C]
+    algebra; the normalize/silu full-tensor write+read disappears into
+    the consumer.  Matches flax `nn.GroupNorm` semantics (contiguous
+    channel groups, f32 stats, biased variance, eps inside rsqrt).
+    """
+    xf = x.astype(jnp.float32)
+    b, _, _, c = x.shape
+    mean_c = jnp.mean(xf, axis=(1, 2))            # [B, C]
+    msq_c = jnp.mean(xf * xf, axis=(1, 2))        # [B, C]
+    if temb is not None:
+        t = temb.astype(jnp.float32)
+        msq_c = msq_c + 2.0 * t * mean_c + t * t
+        mean_c = mean_c + t
+    else:
+        t = jnp.zeros((b, c), jnp.float32)
+    cg = c // groups
+    mean_g = jnp.mean(mean_c.reshape(b, groups, cg), axis=2)
+    msq_g = jnp.mean(msq_c.reshape(b, groups, cg), axis=2)
+    rstd = jax.lax.rsqrt(msq_g - mean_g * mean_g + eps)        # [B, G]
+    rstd_c = jnp.repeat(rstd, cg, axis=1)
+    mu_c = jnp.repeat(mean_g, cg, axis=1)
+    gam = gamma.astype(jnp.float32)[None]
+    s = gam * rstd_c
+    bb = (t - mu_c) * rstd_c * gam + beta.astype(jnp.float32)[None]
+    return s, bb
 
 
 def layernorm_ref(x, scale, bias, eps: float = 1e-5):

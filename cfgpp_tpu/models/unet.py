@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -63,23 +64,41 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
+        t = nn.Dense(self.out_channels, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="time_emb_proj")(nn.silu(temb))
         if self.quant in (True, "all"):
-            from cfgpp_tpu.models.quant import QuantConv
+            # fused plumbing: each GroupNorm+SiLU prologue collapses to a
+            # per-(sample,channel) affine computed from one stats pass and
+            # runs inside the conv kernel's quantize stage; the time-emb
+            # add is absorbed algebraically into norm2's coefficients and
+            # the skip add rides conv2's dequant epilogue — the resnet's
+            # elementwise ops cost zero extra full-tensor HBM passes
+            # (kernels/int8_conv.py; the LNParams holders keep the
+            # nn.GroupNorm param tree layout).
+            from cfgpp_tpu.models.quant import (LNParams, QuantConv,
+                                                groupnorm_silu_coeffs)
             conv = functools.partial(QuantConv, self.out_channels, (3, 3),
                                      padding=1, dtype=self.dtype)
             conv1x1 = functools.partial(QuantConv, self.out_channels, (1, 1),
                                         padding=0, dtype=self.dtype)
-        else:
-            conv = functools.partial(nn.Conv, self.out_channels, (3, 3), padding=1,
-                                     dtype=self.dtype, param_dtype=self.param_dtype)
-            conv1x1 = functools.partial(nn.Conv, self.out_channels, (1, 1),
-                                        dtype=self.dtype, param_dtype=self.param_dtype)
+            lnp = functools.partial(LNParams, param_dtype=self.param_dtype)
+            g1, b1 = lnp(x.shape[-1], name="norm1")()
+            s1, c1 = groupnorm_silu_coeffs(x, g1, b1, self.groups, eps=self.eps)
+            h = conv(name="conv1")(x, gn_scale=s1, gn_bias=c1)
+            g2, b2 = lnp(self.out_channels, name="norm2")()
+            s2, c2 = groupnorm_silu_coeffs(h, g2, b2, self.groups,
+                                           temb=t, eps=self.eps)
+            if x.shape[-1] != self.out_channels:
+                x = conv1x1(name="conv_shortcut")(x)
+            return conv(name="conv2")(h, gn_scale=s2, gn_bias=c2, residual=x)
+        conv = functools.partial(nn.Conv, self.out_channels, (3, 3), padding=1,
+                                 dtype=self.dtype, param_dtype=self.param_dtype)
+        conv1x1 = functools.partial(nn.Conv, self.out_channels, (1, 1),
+                                    dtype=self.dtype, param_dtype=self.param_dtype)
         gn = functools.partial(nn.GroupNorm, num_groups=self.groups, epsilon=self.eps,
                                dtype=self.dtype, param_dtype=self.param_dtype)
         h = nn.silu(gn(name="norm1")(x))
         h = conv(name="conv1")(h)
-        t = nn.Dense(self.out_channels, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
         h = nn.silu(gn(name="norm2")(h))
         h = conv(name="conv2")(h)
@@ -141,7 +160,7 @@ class BasicTransformerBlock(nn.Module):
     quant: bool | str = False
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, kv_len=None):
         dim = self.num_heads * self.head_dim
         attn = functools.partial(Attention, num_heads=self.num_heads,
                                  head_dim=self.head_dim, out_dim=dim,
@@ -158,13 +177,14 @@ class BasicTransformerBlock(nn.Module):
             lnp = functools.partial(LNParams, dim,
                                     param_dtype=self.param_dtype)
             x = attn(name="attn1")(x, ln=lnp(name="norm1")(), residual=x)
-            x = attn(name="attn2")(x, context=context,
+            x = attn(name="attn2")(x, context=context, kv_len=kv_len,
                                    ln=lnp(name="norm2")(), residual=x)
             return ff(x, ln=lnp(name="norm3")(), residual=x)
         ln = functools.partial(nn.LayerNorm, epsilon=1e-5, dtype=self.dtype,
                                param_dtype=self.param_dtype)
         x = x + attn(name="attn1")(ln(name="norm1")(x))
-        x = x + attn(name="attn2")(ln(name="norm2")(x), context=context)
+        x = x + attn(name="attn2")(ln(name="norm2")(x), context=context,
+                                   kv_len=kv_len)
         x = x + ff(ln(name="norm3")(x))
         return x
 
@@ -180,7 +200,7 @@ class Transformer2DModel(nn.Module):
     quant: bool | str = False
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, kv_len=None):
         b, h, w, c = x.shape
         inner = self.num_heads * self.head_dim
         if self.quant and self.use_linear_projection:
@@ -202,7 +222,8 @@ class Transformer2DModel(nn.Module):
         for i in range(self.num_layers):
             x = BasicTransformerBlock(self.num_heads, self.head_dim, dtype=self.dtype,
                                       param_dtype=self.param_dtype, quant=self.quant,
-                                      name=f"transformer_blocks_{i}")(x, context)
+                                      name=f"transformer_blocks_{i}")(x, context,
+                                                                      kv_len=kv_len)
         if self.use_linear_projection:
             if self.quant:
                 # outer residual fused into the proj_out kernel epilogue
@@ -303,6 +324,14 @@ class UNet2DConditionModel(nn.Module):
             emb = emb + aug
 
         context = encoder_hidden_states.astype(self.dtype)
+        # Pad the cross-attn context to the 128-lane tile ONCE; every
+        # attention site masks (flash) or slices (einsum) back to kv_len.
+        # Unpadded, each of the ~70 cross-attn sites pads its own k/v
+        # projections — ~140 pad ops/step on the SDXL trace.
+        kv_len = context.shape[1]
+        kv_pad = -(-kv_len // 128) * 128
+        if jax.default_backend() == "tpu" and kv_pad != kv_len:
+            context = jnp.pad(context, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, name="conv_in", **kw)(
             sample.astype(self.dtype))
 
@@ -322,7 +351,7 @@ class UNet2DConditionModel(nn.Module):
                         heads, out_ch // heads, cfg.transformer_layers_per_block[i],
                         cfg.use_linear_projection, cfg.norm_num_groups,
                         quant=self.quant,
-                        name=f"down_blocks_{i}_attentions_{j}", **kw)(x, context)
+                        name=f"down_blocks_{i}_attentions_{j}", **kw)(x, context, kv_len=kv_len)
                 res_stack.append(x)
             if i < n_blocks - 1:
                 x = Downsample2D(out_ch, quant=self.quant,
@@ -338,7 +367,7 @@ class UNet2DConditionModel(nn.Module):
                                cfg.transformer_layers_per_block[-1],
                                cfg.use_linear_projection, cfg.norm_num_groups,
                                quant=self.quant,
-                               name="mid_block_attentions_0", **kw)(x, context)
+                               name="mid_block_attentions_0", **kw)(x, context, kv_len=kv_len)
         x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
                           quant=self.quant, name="mid_block_resnets_1", **kw)(x, emb)
 
@@ -360,7 +389,7 @@ class UNet2DConditionModel(nn.Module):
                         rev_heads[i], out_ch // rev_heads[i], rev_tlayers[i],
                         cfg.use_linear_projection, cfg.norm_num_groups,
                         quant=self.quant,
-                        name=f"up_blocks_{i}_attentions_{j}", **kw)(x, context)
+                        name=f"up_blocks_{i}_attentions_{j}", **kw)(x, context, kv_len=kv_len)
             if i < n_blocks - 1:
                 x = Upsample2D(out_ch, quant=self.quant,
                                name=f"up_blocks_{i}_upsamplers_0", **kw)(x)

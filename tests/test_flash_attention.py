@@ -152,3 +152,69 @@ def test_attention_qkv_packed_fallback_matches():
     out = attention_qkv_packed(qkv, h)
     ref = sdpa_xla(q, k, v).reshape(b, n, h * d)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_prepadded_kv_len():
+    """Pre-padded k/v (the UNet pads the 77-token context once) + explicit
+    kv_len must equal attention over the unpadded k/v."""
+    b, nq, nkv, h, d = 2, 256, 77, 4, 64
+    key = jax.random.PRNGKey(9)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, nq, h * d), jnp.float32)
+    k = jax.random.normal(kk, (b, nkv, h * d), jnp.float32)
+    v = jax.random.normal(kv, (b, nkv, h * d), jnp.float32)
+    kp = jnp.pad(k, ((0, 0), (0, 128 - nkv), (0, 0)))
+    # poison the v padding rows: they must never contribute
+    vp = jnp.pad(v, ((0, 0), (0, 128 - nkv), (0, 0)),
+                 constant_values=1e3)
+    ref = sdpa_xla(q.reshape(b, nq, h, d), k.reshape(b, nkv, h, d),
+                   v.reshape(b, nkv, h, d)).reshape(b, nq, h * d)
+    got = flash_attention_hd(q, kp, vp, h, kv_len=nkv, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    # the einsum dispatch path slices instead of masking
+    got2 = attention_hd(q, kp, vp, h, kv_len=nkv, force_impl="xla")
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("nq,nkv,kv_pre_pad", [
+    (1024, 1024, False),   # SDXL l2-self shape class
+    (256, 77, True),       # cross-attn with pre-padded kv
+])
+def test_flash_int8_close_to_exact(nq, nkv, kv_pre_pad):
+    """Int8-MXU attention must track the exact softmax within the W8A8
+    error budget (~1% relative on N(0,1) inputs)."""
+    from cfgpp_tpu.kernels.flash_attention import flash_attention_hd_int8
+    b, h, d = 2, 4, 64
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, nq, h * d), jnp.float32)
+    k = jax.random.normal(kk, (b, nkv, h * d), jnp.float32)
+    v = jax.random.normal(kv, (b, nkv, h * d), jnp.float32)
+    ref = np.asarray(sdpa_xla(q.reshape(b, nq, h, d), k.reshape(b, nkv, h, d),
+                              v.reshape(b, nkv, h, d))).reshape(b, nq, h * d)
+    if kv_pre_pad:
+        pad = 128 - nkv
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)), constant_values=7.0)
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)), constant_values=7.0)
+        got = flash_attention_hd_int8(q, k, v, h, kv_len=nkv, interpret=True)
+    else:
+        got = flash_attention_hd_int8(q, k, v, h, interpret=True)
+    g = np.asarray(got, np.float32)
+    err = np.abs(g - ref)
+    rel = err.max() / np.abs(ref).max()
+    assert rel < 0.03, rel
+    assert np.abs(g - ref).mean() / np.abs(ref).mean() < 0.01
+
+
+def test_flash_qkv_packed_int8_close():
+    from cfgpp_tpu.kernels.flash_attention import flash_attention_qkv_packed_int8
+    b, n, h, d = 2, 512, 4, 64
+    qkv = jax.random.normal(jax.random.PRNGKey(5), (b, n, 3 * h * d),
+                            jnp.float32)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    ref = np.asarray(sdpa_xla(q.reshape(b, n, h, d), k.reshape(b, n, h, d),
+                              v.reshape(b, n, h, d))).reshape(b, n, h * d)
+    got = np.asarray(flash_attention_qkv_packed_int8(qkv, h, interpret=True),
+                     np.float32)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 0.03
+    assert np.abs(got - ref).mean() / np.abs(ref).mean() < 0.01

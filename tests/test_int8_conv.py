@@ -83,3 +83,56 @@ def test_supported_predicate():
     assert not int8_conv3x3_supported((4, 64, 64, 320), (2, 2), 1)   # strided
     assert not int8_conv3x3_supported((4, 2, 2, 320), (1, 1), 1)     # tiny
     assert not int8_conv3x3_supported((4, 64, 64, 4), (1, 1), 1)     # thin C
+
+
+def test_int8_conv3x3_fused_gn_silu_residual():
+    """gn_scale/gn_bias + residual fusion == silu-affine prologue ->
+    reference recipe -> skip add.
+
+    The kernel normalizes+silus the VMEM window then re-zeros the pad
+    columns; applying the same affine+silu to x on the host and running
+    the plain reference (whose own zero padding is equivalent) must match
+    bitwise-in-f32.
+    """
+    x, wf, wq, ws, bv = _case(2, 8, 16, 128, 128, seed=23)
+    rng = np.random.default_rng(29)
+    gs = jnp.asarray(rng.normal(1, 0.2, (2, 128)), jnp.float32)
+    gb = jnp.asarray(rng.normal(0, 0.3, (2, 128)), jnp.float32)
+    res = jnp.asarray(rng.normal(0, 1, (2, 8, 16, 128)), jnp.bfloat16)
+
+    ref = int8_conv3x3_reference(x, wq, ws, bv, gn_scale=gs, gn_bias=gb,
+                                 residual=res, block_rows=4)
+    got = int8_conv3x3(x, wq, ws, bv, gn_scale=gs, gn_bias=gb, residual=res,
+                       block_rows=4, block_o=128, interpret=True)
+    assert got.shape == (2, 8, 16, 128)
+    # near-bitwise: the sigmoid in the fused silu compiles with different
+    # FMA contractions in the two graphs, so a value sitting exactly on a
+    # quantization boundary can flip by one int8 step (observed: 1-2
+    # elements in 32k, one bf16 ulp each).  Everything else must be exact.
+    g = np.asarray(got, np.float32)
+    r = np.asarray(ref, np.float32)
+    np.testing.assert_allclose(g, r, atol=0.01, rtol=0)
+    assert (g != r).mean() < 1e-3
+
+
+def test_groupnorm_silu_coeffs_match_groupnorm():
+    """The collapsed affine (incl. absorbed time-emb add) must reproduce
+    flax GroupNorm + temb semantics in f32."""
+    import flax.linen as fnn
+
+    from cfgpp_tpu.models.quant import groupnorm_silu_coeffs
+    rng = np.random.default_rng(31)
+    b, h, w, c, groups = 2, 4, 8, 64, 8
+    x = jnp.asarray(rng.normal(0, 2, (b, h, w, c)), jnp.float32)
+    t = jnp.asarray(rng.normal(0, 1, (b, c)), jnp.float32)
+    gamma = jnp.asarray(rng.normal(1, 0.2, (c,)), jnp.float32)
+    beta = jnp.asarray(rng.normal(0, 0.3, (c,)), jnp.float32)
+
+    gn = fnn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=jnp.float32)
+    params = {"params": {"scale": gamma, "bias": beta}}
+    ref = fnn.silu(gn.apply(params, x + t[:, None, None, :]))
+
+    s, bb = groupnorm_silu_coeffs(x, gamma, beta, groups, temb=t)
+    got = fnn.silu(x * s[:, None, None, :] + bb[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
