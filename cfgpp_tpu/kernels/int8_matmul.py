@@ -54,8 +54,8 @@ def _layernorm_f32(xf, g_ref, be_ref, eps):
 
 
 def _kernel(x_ref, w_ref, ws_ref, b_ref, g_ref, be_ref, r_ref, o_ref,
-            xq_s, sx_s, *, use_bias: bool, use_ln: bool, ln_eps: float,
-            use_res: bool):
+            xq_s, sx_s, *, use_bias: bool, norm_mode: str | None,
+            ln_eps: float, use_res: bool):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -64,10 +64,16 @@ def _kernel(x_ref, w_ref, ws_ref, b_ref, g_ref, be_ref, r_ref, o_ref,
         # VMEM scratch for every N block (j is the sequential grid dim).
         # The optional fused LayerNorm rides the same read: its stats are
         # row reductions over the K values already in VMEM, so the whole
-        # pre-matmul LN costs zero extra HBM traffic.
+        # pre-matmul LN costs zero extra HBM traffic.  "affine" applies a
+        # precomputed per-(sample,channel) scale/shift instead (the
+        # GroupNorm-collapse trick, models/quant.py:groupnorm_silu_coeffs
+        # — stats computed outside, normalize fused here).
         xf = x_ref[0].astype(jnp.float32)                # [bm, K]
-        if use_ln:
+        if norm_mode == "ln":
             xf = _layernorm_f32(xf, g_ref, be_ref, ln_eps)
+        elif norm_mode == "affine":
+            xf = (xf * g_ref[0].astype(jnp.float32)
+                  + be_ref[0].astype(jnp.float32))
         amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
         sx = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
         sx_s[:] = sx
@@ -168,6 +174,8 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
                 ln_scale: jnp.ndarray | None = None,
                 ln_bias: jnp.ndarray | None = None,
                 ln_eps: float = 1e-5,
+                affine_scale: jnp.ndarray | None = None,
+                affine_bias: jnp.ndarray | None = None,
                 residual: jnp.ndarray | None = None,
                 block_m: int | None = None, block_n: int | None = None,
                 interpret: bool = False) -> jnp.ndarray:
@@ -181,7 +189,11 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
       the x block already resident in VMEM (flax `nn.LayerNorm` f32
       semantics) — removes the norm's stat + scale HBM passes;
     * ``residual`` [..., N]: added to the output in the dequant epilogue —
-      removes the separate elementwise residual pass.
+      removes the separate elementwise residual pass;
+    * ``affine_scale``/``affine_bias`` [B, K] (x must be [B, T, K]): fused
+      per-(sample,channel) affine ``x*s+b`` before quantize — the
+      GroupNorm collapse (models/quant.py:groupnorm_silu_coeffs with the
+      stats computed outside); mutually exclusive with ln_scale.
     """
     orig_shape = x.shape
     k, n = w_q.shape
@@ -189,6 +201,8 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     for d in orig_shape[:-1]:
         m *= d
     x2 = x.reshape(m, k)
+    if affine_scale is not None and ln_scale is not None:
+        raise ValueError("affine_* and ln_* fusions are mutually exclusive")
 
     bm, bn = _pick_blocks(m, n, k, block_m, block_n)
     # The kernel does no N masking: grid=(m_pad//bm, n//bn) silently drops
@@ -199,6 +213,19 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
             f"block_n={bn} must divide n={n} (the kernel writes no partial "
             f"N blocks); pick a divisor or omit block_n for auto-selection")
     m_pad = _cdiv(m, bm) * bm
+    use_affine = affine_scale is not None
+    if use_affine:
+        # per-row-block coefficients need whole blocks inside one sample;
+        # otherwise apply the affine as an XLA prologue (correct, unfused)
+        bsz = affine_scale.shape[0]
+        if m % bsz:
+            raise ValueError(f"affine batch {bsz} does not divide rows {m}")
+        if (m // bsz) % bm or m_pad != m:
+            x2 = (x2.reshape(bsz, m // bsz, k).astype(jnp.float32)
+                  * affine_scale.astype(jnp.float32)[:, None, :]
+                  + affine_bias.astype(jnp.float32)[:, None, :]
+                  ).astype(x.dtype).reshape(m, k)
+            use_affine = False
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
 
@@ -223,6 +250,15 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
         args += [ln_scale.reshape(1, k), ln_bias.reshape(1, k)]
         in_specs += [pl.BlockSpec((1, k), lambda i, j: (0, 0)),
                      pl.BlockSpec((1, k), lambda i, j: (0, 0))]
+    elif use_affine:
+        blocks_per_sample = (m // affine_scale.shape[0]) // bm
+        ga = jnp.repeat(affine_scale.astype(jnp.float32),
+                        blocks_per_sample, axis=0)
+        gb = jnp.repeat(affine_bias.astype(jnp.float32),
+                        blocks_per_sample, axis=0)
+        args += [ga, gb]
+        in_specs += [pl.BlockSpec((1, k), lambda i, j: (i, 0)),
+                     pl.BlockSpec((1, k), lambda i, j: (i, 0))]
     else:
         args += [jnp.zeros((1, 1), jnp.float32)] * 2
         in_specs += [pl.BlockSpec((1, 1), lambda i, j: (0, 0))] * 2
@@ -237,7 +273,9 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
         in_specs.append(pl.BlockSpec((1, 1, 1), lambda i, j: (0, 0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, use_bias=use_bias, use_ln=use_ln,
+        functools.partial(_kernel, use_bias=use_bias,
+                          norm_mode=("ln" if use_ln else
+                                     "affine" if use_affine else None),
                           ln_eps=ln_eps, use_res=use_res),
         grid=grid,
         in_specs=in_specs,

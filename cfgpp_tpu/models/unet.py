@@ -119,8 +119,6 @@ class FeedForward(nn.Module):
     def __call__(self, x, ln=None, residual=None):
         inner = self.dim * self.mult
         if self.quant:
-            import jax
-
             from cfgpp_tpu.models.quant import (QuantParams, layernorm_ref,
                                                 quant_dense_apply)
             w1, s1, b1 = QuantParams(self.dim, inner * 2,
@@ -210,12 +208,37 @@ class Transformer2DModel(nn.Module):
             dense = functools.partial(nn.Dense, dtype=self.dtype,
                                       param_dtype=self.param_dtype)
         residual = x
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm")(x)
-        if self.use_linear_projection:
+        if self.quant and self.use_linear_projection:
+            # GroupNorm collapsed to per-(sample,channel) affine riding the
+            # proj_in matmul's quantize stage (one stats pass, no
+            # normalize write/read — same trick as the resnet convs)
+            from cfgpp_tpu.models.quant import (LNParams, QuantParams,
+                                                groupnorm_silu_coeffs,
+                                                quant_dense_apply)
+            gam, bet = LNParams(c, param_dtype=self.param_dtype,
+                                name="norm")()
+            s_a, b_a = groupnorm_silu_coeffs(x, gam, bet, self.groups,
+                                             eps=1e-6)
+            wi, si, bi = QuantParams(c, inner, name="proj_in")()
+            xt = x.reshape(b, h * w, c)
+            if jax.default_backend() == "tpu":
+                from cfgpp_tpu.kernels.int8_matmul import int8_matmul
+                x = int8_matmul(xt, wi, si, bi, affine_scale=s_a,
+                                affine_bias=b_a).astype(self.dtype)
+            else:
+                xn = (xt.astype(jnp.float32) * s_a[:, None, :]
+                      + b_a[:, None, :])
+                x = quant_dense_apply(xn, wi, si, bi, self.dtype)
+        elif self.use_linear_projection:
+            x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                             dtype=self.dtype, param_dtype=self.param_dtype,
+                             name="norm")(x)
             x = x.reshape(b, h * w, c)
             x = dense(inner, name="proj_in")(x)
         else:
+            x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                             dtype=self.dtype, param_dtype=self.param_dtype,
+                             name="norm")(x)
             x = nn.Conv(inner, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype,
                         name="proj_in")(x)
             x = x.reshape(b, h * w, inner)
@@ -227,8 +250,6 @@ class Transformer2DModel(nn.Module):
         if self.use_linear_projection:
             if self.quant:
                 # outer residual fused into the proj_out kernel epilogue
-                import jax
-
                 from cfgpp_tpu.models.quant import (QuantParams,
                                                     quant_dense_apply)
                 wo, so, bo = QuantParams(inner, c, name="proj_out")()

@@ -188,3 +188,25 @@ def test_int8_ff_geglu_fused_ln_and_residual():
     assert got.dtype == jnp.bfloat16 and got.shape == (m, o)
     e = np.abs(np.asarray(got, np.float32) - ref)
     assert e.max() / max(np.abs(ref).max(), 1e-6) < 0.03
+
+
+def test_int8_matmul_fused_affine():
+    """affine_scale/affine_bias [B, K] fusion == per-sample affine prologue
+    -> recipe (the GroupNorm-collapse path for proj_in)."""
+    rng = np.random.default_rng(13)
+    b, t, k, n = 2, 64, 256, 512
+    x = jnp.asarray(rng.normal(0, 1, (b, t, k)), jnp.bfloat16)
+    wq, ws = quantize_kernel_int8(rng.normal(0, 0.05, (k, n)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, (n,)), jnp.float32)
+    sa = jnp.asarray(rng.normal(1, 0.2, (b, k)), jnp.float32)
+    ba = jnp.asarray(rng.normal(0, 0.3, (b, k)), jnp.float32)
+
+    xn = (x.astype(jnp.float32) * sa[:, None, :] + ba[:, None, :])
+    ref = xla_ref(xn.reshape(b * t, k), jnp.asarray(wq), jnp.asarray(ws), bias)
+    got = int8_matmul(x, jnp.asarray(wq), jnp.asarray(ws), bias,
+                      affine_scale=sa, affine_bias=ba, block_m=32,
+                      interpret=True)
+    assert got.shape == (b, t, n)
+    e = np.abs(np.asarray(got, np.float32).reshape(b * t, n)
+               - np.asarray(ref, np.float32))
+    assert e.max() / np.abs(np.asarray(ref, np.float32)).max() < 0.02
