@@ -117,9 +117,7 @@ class QuantConv(nn.Module):
                 x = nn.silu(x)
             if (kh, kw) == (1, 1) and self.strides in ((1, 1), None):
                 y = int8_matmul(x, kernel.reshape(x.shape[-1], self.features),
-                                scale, bias)
-                if residual is not None:
-                    y = y + residual
+                                scale, bias, residual=residual)
                 return y.astype(self.dtype)
         elif gn_scale is not None:
             x = x.astype(jnp.float32) * gn_scale[:, None, None, :] \

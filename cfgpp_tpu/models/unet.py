@@ -239,8 +239,15 @@ class Transformer2DModel(nn.Module):
             x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                              dtype=self.dtype, param_dtype=self.param_dtype,
                              name="norm")(x)
-            x = nn.Conv(inner, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="proj_in")(x)
+            if self.quant:
+                # SD15 layout: 1x1 conv projections ARE matmuls — route
+                # through QuantConv's int8_matmul path
+                from cfgpp_tpu.models.quant import QuantConv
+                x = QuantConv(inner, (1, 1), padding=0, dtype=self.dtype,
+                              name="proj_in")(x)
+            else:
+                x = nn.Conv(inner, (1, 1), dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="proj_in")(x)
             x = x.reshape(b, h * w, inner)
         for i in range(self.num_layers):
             x = BasicTransformerBlock(self.num_heads, self.head_dim, dtype=self.dtype,
@@ -266,6 +273,11 @@ class Transformer2DModel(nn.Module):
             x = x.reshape(b, h, w, c)
         else:
             x = x.reshape(b, h, w, inner)
+            if self.quant:
+                from cfgpp_tpu.models.quant import QuantConv
+                x = QuantConv(c, (1, 1), padding=0, dtype=self.dtype,
+                              name="proj_out")(x, residual=residual)
+                return x
             x = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype,
                         name="proj_out")(x)
         return x + residual

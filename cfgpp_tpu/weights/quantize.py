@@ -39,10 +39,10 @@ def quantize_unet_params(params: Any, mode: str = "all") -> Any:
     ``mode="all"`` quantizes transformer projections and resnet convs;
     ``mode="dense"`` quantizes only the projections (convs stay bf16 —
     XLA's int8-conv lowering measured slower than bf16 in-context, while
-    the Pallas int8 dense path wins).  ``proj_in``/``proj_out`` are only
-    quantized when they are true Dense layers (2-D kernels,
-    use_linear_projection=True); the SD-1.5 1x1-conv variant (4-D kernels)
-    passes through untouched.
+    the Pallas int8 dense path wins).  ``proj_in``/``proj_out`` quantize in
+    both layouts: 2-D Dense kernels (use_linear_projection=True, SDXL) and
+    the SD-1.5 1x1-conv variant (4-D kernels — they ARE matmuls and route
+    through int8_matmul via QuantConv).
     """
     from cfgpp_tpu.models.quant import quantize_conv_kernel_int8
 
@@ -76,8 +76,12 @@ def quantize_unet_params(params: Any, mode: str = "all") -> Any:
             ndim = getattr(kernel, "ndim", 0)
             is_conv = (name in conv_names and ndim == 4
                        and not (name == "conv" and "downsamplers" in parent))
+            # SD15 conv-layout transformer projections: 1x1 convs, still
+            # "dense" coverage (they run on the int8_matmul path)
+            is_proj1x1 = name in ("proj_in", "proj_out") and ndim == 4
             if kernel is not None and (
-                    (name in QUANT_LAYER_NAMES and ndim == 2) or is_conv):
+                    (name in QUANT_LAYER_NAMES and ndim == 2) or is_conv
+                    or is_proj1x1):
                 quant = (quantize_kernel_int8 if ndim == 2
                          else quantize_conv_kernel_int8)
                 kq, scale = quant(kernel)

@@ -72,7 +72,8 @@ def test_quantize_unet_params_selectivity():
             },
             "proj_in": {"kernel": np.ones((8, 8), np.float32)},
         },
-        # SD-1.5 conv-style proj_in (4D kernel) must NOT convert
+        # SD-1.5 conv-style proj_in (4D 1x1 kernel): converts as a conv —
+        # it IS a matmul and routes through int8_matmul via QuantConv
         "down_blocks_0_attentions_0": {
             "proj_in": {"kernel": np.ones((1, 1, 8, 8), np.float32)},
         },
@@ -87,8 +88,9 @@ def test_quantize_unet_params_selectivity():
     assert tb["attn1"]["to_out"]["bias"].dtype == jnp.float32
     assert tb["ff"]["net_0_proj"]["kernel"].dtype == jnp.int8
     assert q["params"]["down_blocks_1_attentions_0"]["proj_in"]["kernel"].dtype == jnp.int8
+    proj1x1 = q["params"]["down_blocks_0_attentions_0"]["proj_in"]
+    assert proj1x1["kernel"].dtype == jnp.int8 and "scale" in proj1x1
     # untouched:
-    assert q["params"]["down_blocks_0_attentions_0"]["proj_in"]["kernel"].dtype == np.float32
     assert q["params"]["time_embedding"]["linear_1"]["kernel"].dtype == np.float32
     assert q["params"]["conv_in"]["kernel"].dtype == np.float32
 
@@ -212,3 +214,31 @@ def test_quantized_dense_mode_keeps_convs_bf16():
     # resnet convs stayed floating point
     assert all(d != "int8" for _, d in kinds["conv1"])
     assert all(d != "int8" for _, d in kinds["conv2"])
+
+
+def test_quantized_tiny_sd_conv_layout_forward_close():
+    """SD15 layout (use_linear_projection=False): 1x1-conv transformer
+    projections quantize and route through the matmul path; forward must
+    stay close to bf16."""
+    from cfgpp_tpu.engine import ModelBundle
+    bundle = ModelBundle.random_init("tiny_sd", dtype=jnp.float32,
+                                     param_dtype=jnp.float32)
+    qb = bundle.quantized(mode="all")
+    # the conv-layout proj params must be int8 in the transformed tree
+    import jax as _jax
+    leaves = _jax.tree_util.tree_leaves_with_path(qb.unet_params)
+    proj_kernels = [(p, l) for p, l in leaves
+                    if "proj_in" in str(p) and "kernel" in str(p)]
+    assert proj_kernels and all(l.dtype == jnp.int8 for _, l in proj_kernels)
+
+    key = jax.random.PRNGKey(1)
+    ctx_dim = bundle.config.unet.cross_attention_dim
+    z = jax.random.normal(key, (2, 8, 8, 4), jnp.float32)
+    ctx = jax.random.normal(key, (2, 77, ctx_dim), jnp.float32)
+    t = jnp.asarray([500, 500])
+
+    ref = bundle.unet.apply(bundle.unet_params, z, t, ctx)
+    out = qb.unet.apply(qb.unet_params, z, t, ctx)
+    assert out.shape == ref.shape
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.15, rel
