@@ -208,9 +208,11 @@ class Attention(nn.Module):
                 q = quant_dense_apply(h, wq, sq, None, self.dtype)
                 k = quant_dense_apply(ctx, wk, sk, None, self.dtype)
                 v = quant_dense_apply(ctx, wv, sv, None, self.dtype)
+            # int8_score deliberately OFF for cross-attention: at kv=77 the
+            # score dot is tiny while the per-(token,head) q quantize would
+            # cost an extra full HBM round-trip over the long q sequence
             out = attention_hd(q, k, v, self.num_heads, mask=mask,
-                               kv_len=kv_len,
-                               int8_score=self.quant in (True, "all"))
+                               kv_len=kv_len)
         wo, so, bo = QuantParams(inner, self.out_dim, name="to_out")()
         if on_tpu:
             from cfgpp_tpu.kernels.int8_matmul import int8_matmul
