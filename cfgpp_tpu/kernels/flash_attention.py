@@ -75,7 +75,7 @@ def _kernel_single(q_ref, k_ref, v_ref, o_ref, *, kv_len, bkv, d, hpb,
         v = v_ref[0, :, j * d:(j + 1) * d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        if kv_len % bkv:
+        if kv_len < bkv:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
@@ -96,6 +96,11 @@ def _kernel_single_int8(qq_ref, kq_ref, v_ref, sq_ref, sk_ref,
     the probability matrix at int8 resolution measured up to 16% relative
     output error on flat softmax rows (N=1024 — the 1/127 step is too
     coarse for many small p), while int8 q@k alone stays < 1%.
+
+    Scale layouts: sq [1, 1, bq, hpb] (head-group-major so the block is a
+    whole trailing dim — a (1,bq,hpb) block of a [B,Nq,H] array would be
+    an interior narrow lane block, which Mosaic rejects), sk
+    [1, 1, hpb, bkv].
     """
     for j in range(hpb):
         qj = qq_ref[0, :, j * d:(j + 1) * d]              # int8 [bq, d]
@@ -103,9 +108,9 @@ def _kernel_single_int8(qq_ref, kq_ref, v_ref, sq_ref, sk_ref,
         acc = jax.lax.dot_general(qj, kj, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         # rank-1 dequant; sq already folds the softmax scale and log2(e)
-        s = (acc.astype(jnp.float32) * sq_ref[0, :, j:j + 1]
-             * sk_ref[0, j][None, :])
-        if kv_len % bkv:
+        s = (acc.astype(jnp.float32) * sq_ref[0, 0, :, j:j + 1]
+             * sk_ref[0, 0, j][None, :])
+        if kv_len < bkv:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
@@ -118,8 +123,12 @@ def _kernel_single_int8(qq_ref, kq_ref, v_ref, sq_ref, sk_ref,
 
 
 def _kernel_multi(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s,
-                  *, kv_len, bkv, d, hpb, q_scale=None):
-    """Streaming kv blocks with the classic running-softmax carry."""
+                  *, kv_len, kv_total, bkv, d, hpb, q_scale=None):
+    """Streaming kv blocks with the classic running-softmax carry.
+
+    ``kv_total`` is the padded physical kv length (num_kv * bkv): masking
+    must trigger whenever kv_len < kv_total — a `kv_len % bkv` test would
+    silently skip whole padded blocks when kv_len divides bkv."""
     kv_idx = pl.program_id(2)
     num_kv = pl.num_programs(2)
 
@@ -137,7 +146,7 @@ def _kernel_multi(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s,
         v = v_ref[0, :, j * d:(j + 1) * d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        if kv_len % bkv:
+        if kv_len < kv_total:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * bkv
             s = jnp.where(col < kv_len, s, NEG_INF)
         m_prev = m_s[:, j * 8:j * 8 + 1]                     # [bq, 1]
@@ -160,6 +169,19 @@ def _kernel_multi(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s,
             o_ref[0, :, j * d:(j + 1) * d] = (
                 acc_s[:, j * d:(j + 1) * d] / l_s[:, j * 8:j * 8 + 1]
             ).astype(o_ref.dtype)
+
+
+def _quant_rows_per_head(x, b, n, h, d, scale_extra=1.0):
+    """Per-(token, head) symmetric int8 quantization for the int8-score
+    attention wrappers: [B, N, H*D] -> (int8 [B, N, H*D], f32 scales
+    [B, N, H]).  ``scale_extra`` folds constants (softmax scale, log2 e)
+    into the dequant scale without touching the int8 payload."""
+    xh = x.reshape(b, n, h, d).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xh), axis=-1)               # [B, N, H]
+    s = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xh / s[..., None]), -127.0, 127.0
+                  ).astype(jnp.int8)
+    return xq.reshape(b, n, h * d), s * scale_extra
 
 
 def heads_per_block(num_heads: int, d: int) -> int:
@@ -271,7 +293,8 @@ def flash_attention_hd(
         kern = functools.partial(_kernel_single, kv_len=nkv, bkv=bkv, d=d, hpb=hpb)
         out = pl.pallas_call(kern, **common)(q, k, v)
     else:
-        kern = functools.partial(_kernel_multi, kv_len=nkv, bkv=bkv, d=d, hpb=hpb)
+        kern = functools.partial(_kernel_multi, kv_len=nkv, kv_total=nkv_pad,
+                                 bkv=bkv, d=d, hpb=hpb)
         out = pl.pallas_call(
             kern, **common,
             scratch_shapes=[
@@ -327,18 +350,10 @@ def flash_attention_hd_int8(
                                   interpret=interpret)
     bq = block_q or auto_bq
 
-    def quant_rows(x, scale_extra=1.0):
-        xh = x.reshape(b, -1, h, d).astype(jnp.float32)
-        amax = jnp.max(jnp.abs(xh), axis=-1)               # [B, N, H]
-        s = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
-        xq = jnp.clip(jnp.round(xh / s[..., None]), -127.0, 127.0
-                      ).astype(jnp.int8)
-        return xq.reshape(b, -1, hd), s * scale_extra
-
-    qq, sq = quant_rows(q, d ** -0.5 * LOG2E)   # scale+log2e fold into sq
-    kq, sk = quant_rows(k)
+    # scale+log2e fold into sq
+    qq, sq = _quant_rows_per_head(q, b, nq, h, d, d ** -0.5 * LOG2E)
+    kq, sk = _quant_rows_per_head(k, b, nkv_in, h, d)
     v = v.astype(jnp.bfloat16)
-    sk = sk.transpose(0, 2, 1)                             # [B, H, Nkv]
 
     nq_pad = _cdiv(nq, bq) * bq
     if nq_pad != nq:
@@ -348,17 +363,23 @@ def flash_attention_hd_int8(
     if nkv_pad != nkv_in:
         kq = jnp.pad(kq, [(0, 0), (0, nkv_pad - nkv_in), (0, 0)])
         v = jnp.pad(v, [(0, 0), (0, nkv_pad - nkv_in), (0, 0)])
-        sk = jnp.pad(sk, [(0, 0), (0, 0), (0, nkv_pad - nkv_in)],
+        sk = jnp.pad(sk, [(0, 0), (0, nkv_pad - nkv_in), (0, 0)],
                      constant_values=1.0)
     bkv = nkv_pad
+    # head-group-major scale layouts: the per-head block must be a WHOLE
+    # trailing dim (Mosaic rejects interior narrow blocks on tiled dims)
+    sq = sq.reshape(b, nq_pad, nh, hpb).transpose(0, 2, 1, 3)  # [B,nh,Nq,hpb]
+    sk = sk.reshape(b, bkv, nh, hpb).transpose(0, 2, 3, 1)     # [B,nh,hpb,Nkv]
 
     grid = (b * nh, nq_pad // bq, 1)
     in_specs = [
         pl.BlockSpec((1, bq, ld), lambda g, iq, ik, n=nh: (g // n, iq, g % n)),
         pl.BlockSpec((1, bkv, ld), lambda g, iq, ik, n=nh: (g // n, 0, g % n)),
         pl.BlockSpec((1, bkv, ld), lambda g, iq, ik, n=nh: (g // n, 0, g % n)),
-        pl.BlockSpec((1, bq, hpb), lambda g, iq, ik, n=nh: (g // n, iq, g % n)),
-        pl.BlockSpec((1, hpb, bkv), lambda g, iq, ik, n=nh: (g // n, g % n, 0)),
+        pl.BlockSpec((1, 1, bq, hpb),
+                     lambda g, iq, ik, n=nh: (g // n, g % n, iq, 0)),
+        pl.BlockSpec((1, 1, hpb, bkv),
+                     lambda g, iq, ik, n=nh: (g // n, g % n, 0, 0)),
     ]
     out = pl.pallas_call(
         functools.partial(_kernel_single_int8, kv_len=nkv, bkv=bkv, d=d,
@@ -412,23 +433,18 @@ def flash_attention_qkv_packed_int8(
     bq = block_q or auto_bq
     bkv = nkv_pad
 
-    def quant_rows(x, scale_extra=1.0):
-        xh = x.reshape(b, n, h, d).astype(jnp.float32)
-        amax = jnp.max(jnp.abs(xh), axis=-1)               # [B, N, H]
-        s = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
-        xq = jnp.clip(jnp.round(xh / s[..., None]), -127.0, 127.0
-                      ).astype(jnp.int8)
-        return xq.reshape(b, n, hd), s * scale_extra
-
-    qq, sq = quant_rows(qkv[:, :, :hd], d ** -0.5 * LOG2E)
-    kq, sk = quant_rows(qkv[:, :, hd:2 * hd])
-    sk = sk.transpose(0, 2, 1)                             # [B, H, Nkv]
+    qq, sq = _quant_rows_per_head(qkv[:, :, :hd], b, n, h, d,
+                                  d ** -0.5 * LOG2E)
+    kq, sk = _quant_rows_per_head(qkv[:, :, hd:2 * hd], b, n, h, d)
 
     nq_pad = _cdiv(n, bq) * bq
     if nq_pad != n:
         qq = jnp.pad(qq, [(0, 0), (0, nq_pad - n), (0, 0)])
         sq = jnp.pad(sq, [(0, 0), (0, nq_pad - n), (0, 0)],
                      constant_values=1.0)
+    # head-group-major scale layouts (see flash_attention_hd_int8)
+    sq = sq.reshape(b, nq_pad, nh, hpb).transpose(0, 2, 1, 3)  # [B,nh,Nq,hpb]
+    sk = sk.reshape(b, bkv, nh, hpb).transpose(0, 2, 3, 1)     # [B,nh,hpb,Nkv]
 
     grid = (b * nh, nq_pad // bq, 1)
     in_specs = [
@@ -437,8 +453,10 @@ def flash_attention_qkv_packed_int8(
         # v read straight out of the pack at channel offset 2*H*D
         pl.BlockSpec((1, bkv, ld),
                      lambda g, iq, ik, n_=nh: (g // n_, 0, 2 * n_ + g % n_)),
-        pl.BlockSpec((1, bq, hpb), lambda g, iq, ik, n_=nh: (g // n_, iq, g % n_)),
-        pl.BlockSpec((1, hpb, bkv), lambda g, iq, ik, n_=nh: (g // n_, g % n_, 0)),
+        pl.BlockSpec((1, 1, bq, hpb),
+                     lambda g, iq, ik, n_=nh: (g // n_, g % n_, iq, 0)),
+        pl.BlockSpec((1, 1, hpb, bkv),
+                     lambda g, iq, ik, n_=nh: (g // n_, g % n_, 0, 0)),
     ]
     out = pl.pallas_call(
         functools.partial(_kernel_single_int8, kv_len=n, bkv=bkv, d=d,
@@ -527,8 +545,8 @@ def flash_attention_qkv_packed(
                                  hpb=hpb, q_scale=scale)
         out = pl.pallas_call(kern, **common)(qkv, qkv, qkv)
     else:
-        kern = functools.partial(_kernel_multi, kv_len=n, bkv=bkv, d=d,
-                                 hpb=hpb, q_scale=scale)
+        kern = functools.partial(_kernel_multi, kv_len=n, kv_total=nkv_pad,
+                                 bkv=bkv, d=d, hpb=hpb, q_scale=scale)
         out = pl.pallas_call(
             kern, **common,
             scratch_shapes=[

@@ -103,43 +103,6 @@ def _erf_poly(x):
     return s * (1.0 - poly * jnp.exp(-a * a))
 
 
-def _kernel_geglu(x_ref, wv_ref, wg_ref, ws_ref, b_ref, o_ref, xq_s, sx_s,
-                  *, use_bias: bool):
-    """GEGLU epilogue: o = (x@Wv + bv) * gelu(x@Wg + bg), one output write.
-
-    wv/wg are channel-offset BlockSpec views of the SAME packed [K, 2N]
-    net_0_proj weight (value half | gate half — diffusers GEGLU chunk
-    order, unet.py:109); ws/b are the matching [2, bn] scale/bias slices.
-    """
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _quantize():
-        xf = x_ref[0].astype(jnp.float32)                # [bm, K]
-        amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
-        sx = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
-        sx_s[:] = sx
-        xq_s[:] = jnp.clip(jnp.round(xf * pl.reciprocal(sx, approx=False)),
-                           -127.0, 127.0).astype(jnp.int8)
-
-    accv = jax.lax.dot_general(xq_s[:], wv_ref[:], (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.int32)
-    accg = jax.lax.dot_general(xq_s[:], wg_ref[:], (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.int32)
-    v = accv.astype(jnp.float32) * sx_s[:] * ws_ref[0, :]
-    g = accg.astype(jnp.float32) * sx_s[:] * ws_ref[1, :]
-    if use_bias:
-        v = v + b_ref[0, :]
-        g = g + b_ref[1, :]
-    # erf-based gelu, matching diffusers' non-approximate F.gelu
-    o_ref[0] = (v * (g * 0.5 * (1.0 + _erf_poly(g * (2.0 ** -0.5))))
-                ).astype(o_ref.dtype)
-
-
-# VMEM budget for block selection.  Measured on the GEGLU shape
-# [8192, 1280] x [1280, 10240]: (bm, bn) = (512, 2048) -> 302 TF/s vs
-# (256, 512) -> 183 TF/s and the XLA bf16 dot's 175 TF/s; bigger blocks
-# fail compilation (scoped-VMEM).
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
@@ -428,40 +391,6 @@ def int8_ff_geglu(x: jnp.ndarray,
     return out.reshape(orig_shape[:-1] + (o,))
 
 
-def _vmem_est_geglu(bm: int, bn: int, k: int) -> int:
-    return (bm * k * 2 * 2        # x bf16 blocks, double-buffered
-            + bm * k              # int8 scratch
-            + 2 * k * bn * 2      # value + gate w int8 blocks, dbl-buffered
-            + bm * bn * 2 * 2     # out bf16 blocks, double-buffered
-            + 2 * bm * bn * 8)    # two int32 acc + f32 dequant transients
-
-
-# Measured-best (bm, bn) per fused-GEGLU shape (v5e sweep 2026-08-17,
-# dual-batch-8 SDXL): level-2 [8192,1280]x[1280,10240] 841.9 us = 255 TF/s
-# (vs 641 matmul + 449 gelu-fusion unfused = 1.29x); level-1
-# [32768,640]x[640,5120] 1086.6 us = 198 TF/s (vs 1868 unfused = 1.72x).
-_BEST_BLOCKS_GEGLU = {
-    (8192, 1280, 5120): (512, 1024),
-    (32768, 640, 2560): (512, 2560),
-}
-
-
-def _pick_blocks_geglu(m: int, n: int, k: int, block_m, block_n):
-    bn_opts = [b for b in (2048, 1536, 1024, 768, 512, 384, 256, 128)
-               if b <= n and n % b == 0] or [n]
-    if block_m is not None or block_n is not None:
-        return min(block_m or 512, m), (block_n or bn_opts[0])
-    if (m, k, n) in _BEST_BLOCKS_GEGLU:
-        return _BEST_BLOCKS_GEGLU[m, k, n]
-    bm = min(512, m)
-    while bm >= 8:
-        for bn in bn_opts:
-            if _vmem_est_geglu(bm, bn, k) <= _VMEM_BUDGET:
-                return bm, bn
-        bm //= 2
-    return 8, bn_opts[-1]
-
-
 def _kernel_ff(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                g_ref, be_ref, r_ref, o_ref,
                xq_s, sx_s, h_s, rmax_s, *, n: int, bc: int,
@@ -521,71 +450,3 @@ def _kernel_ff(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
-def int8_matmul_geglu(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
-                      bias: jnp.ndarray | None = None,
-                      block_m: int | None = None, block_n: int | None = None,
-                      interpret: bool = False) -> jnp.ndarray:
-    """Fused GEGLU: x [..., K] @ w_q int8 [K, 2N] -> v * gelu(g) bf16 [..., N].
-
-    The packed weight keeps diffusers' net_0_proj layout (value proj in
-    columns [:N], gate proj in [N:], unet.py:108-111).  The epilogue runs
-    on the f32 dequantized accumulators in VMEM and writes ONLY the [M, N]
-    product — removing the [M, 2N] proj write plus the [M, 2N]-read/[M, N]-
-    write elementwise gelu fusion that together measured ~51 ms of pure
-    HBM-bound time per dual-batch-8 SDXL step (trace 2026-08-17).
-    """
-    orig_shape = x.shape
-    k, n2 = w_q.shape
-    if n2 % 2:
-        raise ValueError(f"packed GEGLU weight must have even N, got {n2}")
-    n = n2 // 2
-    m = 1
-    for d in orig_shape[:-1]:
-        m *= d
-    x2 = x.reshape(m, k)
-
-    bm, bn = _pick_blocks_geglu(m, n, k, block_m, block_n)
-    if n % bn != 0:
-        raise ValueError(
-            f"block_n={bn} must divide n={n} (the kernel writes no partial "
-            f"N blocks); pick a divisor or omit block_n for auto-selection")
-    m_pad = _cdiv(m, bm) * bm
-    if m_pad != m:
-        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-
-    nb = n // bn
-    grid = (m_pad // bm, nb)
-    use_bias = bias is not None
-    # scale/bias reshaped to [2, N]: row 0 = value half, row 1 = gate half
-    args = [x2.reshape(m_pad // bm, bm, k), w_q, w_q,
-            w_scale.astype(jnp.float32).reshape(2, n)]
-    in_specs = [
-        pl.BlockSpec((1, bm, k), lambda i, j: (i, 0, 0)),
-        pl.BlockSpec((k, bn), lambda i, j: (0, j)),               # value cols
-        pl.BlockSpec((k, bn), lambda i, j, nb_=nb: (0, nb_ + j)),  # gate cols
-        pl.BlockSpec((2, bn), lambda i, j: (0, j)),
-    ]
-    if use_bias:
-        args.append(bias.astype(jnp.float32).reshape(2, n))
-        in_specs.append(pl.BlockSpec((2, bn), lambda i, j: (0, j)))
-    else:
-        args.append(jnp.zeros((2, 1), jnp.float32))
-        in_specs.append(pl.BlockSpec((2, 1), lambda i, j: (0, 0)))
-
-    out = pl.pallas_call(
-        functools.partial(_kernel_geglu, use_bias=use_bias),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bm, bn), lambda i, j: (i, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((m_pad // bm, bm, n), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((bm, k), jnp.int8),
-                        pltpu.VMEM((bm, 1), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-        interpret=interpret,
-    )(*args)
-    out = out.reshape(m_pad, n)
-    if m_pad != m:
-        out = out[:m]
-    return out.reshape(orig_shape[:-1] + (n,))

@@ -251,46 +251,6 @@ def quant_dense_apply(x, kernel, scale, bias, out_dtype):
     return y.astype(out_dtype)
 
 
-class QuantGEGLU(nn.Module):
-    """Fused int8 GEGLU projection (drop-in for the ff net_0_proj Dense +
-    split + gelu, unet.py:108-111).
-
-    Params keep the packed net_0_proj layout (``kernel`` int8 [K, 2N] =
-    value half | gate half, ``scale``/``bias`` [2N]) so the quantized tree
-    is layout-identical to `QuantDense`'s; only the forward differs: on
-    TPU the gelu epilogue runs inside the matmul kernel and the [M, 2N]
-    intermediate is never written to HBM (kernels/int8_matmul.py:
-    int8_matmul_geglu).
-    """
-
-    features: int                 # 2N, matching the Dense it replaces
-    use_bias: bool = True
-    dtype: jnp.dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        kernel = self.param("kernel", nn.initializers.zeros,
-                            (x.shape[-1], self.features), jnp.int8)
-        scale = self.param("scale", nn.initializers.ones,
-                           (self.features,), jnp.float32)
-        bias = (self.param("bias", nn.initializers.zeros,
-                           (self.features,), jnp.float32)
-                if self.use_bias else None)
-        if jax.default_backend() == "tpu":
-            from cfgpp_tpu.kernels.int8_matmul import int8_matmul_geglu
-            return int8_matmul_geglu(x, kernel, scale, bias).astype(self.dtype)
-        xq, sx = quantize_activation_int8(x)
-        acc = jax.lax.dot_general(
-            xq, kernel, (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        y = acc.astype(jnp.float32) * sx * scale
-        if bias is not None:
-            y = y + bias.astype(jnp.float32)
-        v, g = jnp.split(y, 2, axis=-1)
-        out = v * (g * 0.5 * (1.0 + jax.lax.erf(g * (2.0 ** -0.5))))
-        return out.astype(self.dtype)
-
-
 class QuantDense(nn.Module):
     """Drop-in int8 replacement for `nn.Dense` (no-bias or bias).
 

@@ -201,12 +201,10 @@ class Transformer2DModel(nn.Module):
     def __call__(self, x, context, kv_len=None):
         b, h, w, c = x.shape
         inner = self.num_heads * self.head_dim
-        if self.quant and self.use_linear_projection:
-            from cfgpp_tpu.models.quant import QuantDense
-            dense = functools.partial(QuantDense, dtype=self.dtype)
-        else:
-            dense = functools.partial(nn.Dense, dtype=self.dtype,
-                                      param_dtype=self.param_dtype)
+        # (the quant+linear path below declares its own fused params; this
+        # Dense partial only serves the exact linear-projection layout)
+        dense = functools.partial(nn.Dense, dtype=self.dtype,
+                                  param_dtype=self.param_dtype)
         residual = x
         if self.quant and self.use_linear_projection:
             # GroupNorm collapsed to per-(sample,channel) affine riding the

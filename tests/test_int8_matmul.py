@@ -71,30 +71,6 @@ def test_int8_matmul_deep_k():
     assert np.abs(np.asarray(got, np.float32) - ref).max() / scale < 0.02
 
 
-@pytest.mark.parametrize("m,k,n,bias,bn", [
-    (64, 320, 512, True, None),
-    (100, 1280, 1024, True, None),   # ragged M -> padded row blocks
-    (64, 640, 512, False, 128),      # multi-N-block: offset gate view
-])
-def test_int8_matmul_geglu_matches_recipe(m, k, n, bias, bn):
-    """Fused GEGLU epilogue == QuantDense recipe -> split -> exact gelu."""
-    from cfgpp_tpu.kernels.int8_matmul import int8_matmul_geglu
-    rng = np.random.default_rng(m + n)
-    x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.float32)
-    wq, ws = quantize_kernel_int8(
-        rng.normal(0, 0.05, (k, 2 * n)).astype(np.float32))
-    wq, ws = jnp.asarray(wq), jnp.asarray(ws)
-    b = jnp.asarray(rng.normal(0, 0.1, (2 * n,)), jnp.float32) if bias else None
-    proj = np.asarray(xla_ref(x, wq, ws, b), np.float32)
-    v, g = proj[:, :n], proj[:, n:]
-    import math
-    ref = v * (g * 0.5 * (1.0 + np.vectorize(math.erf)(g / np.sqrt(2.0))))
-    got = int8_matmul_geglu(x, wq, ws, b, block_n=bn, interpret=True)
-    assert got.dtype == jnp.bfloat16 and got.shape == (m, n)
-    e = np.abs(np.asarray(got, np.float32) - ref)
-    assert e.max() / max(np.abs(ref).max(), 1e-6) < 0.02
-
-
 @pytest.mark.parametrize("m,k,n,o,bc", [
     (100, 256, 512, 256, 128),   # chunked stage-1, ragged M
     (64, 320, 1280, 320, None),  # full-N single chunk (the measured-best)
