@@ -46,12 +46,18 @@ def paired_metrics(input_dir: Path, label_dir: Path, logger):
                        len(ins), len(labs))
     n = min(len(ins), len(labs))
     psnrs, mses = [], []
-    for a, b in zip(ins[:n], labs[:n]):
-        ia, ib = _load(a), _load(b)
-        if ia.shape != ib.shape:
-            raise ValueError(f"shape mismatch {a.name}: {ia.shape} vs {ib.shape}")
-        psnrs.append(psnr(ia, ib, data_range=255.0))
-        mses.append(mse(ia, ib))
+    # interleaved A/B submission: the native decoder pool (C++ threads,
+    # cfgpp_tpu/native) decodes ahead while Python computes the metrics —
+    # the data-loader analog of the reference's DataLoader(num_workers=4)
+    from cfgpp_tpu.native import AsyncPngReader
+    with AsyncPngReader([p for ab in zip(ins[:n], labs[:n]) for p in ab]) as r:
+        for i, (a, b) in enumerate(zip(ins[:n], labs[:n])):
+            ia = r.get(2 * i).astype(np.float32)
+            ib = r.get(2 * i + 1).astype(np.float32)
+            if ia.shape != ib.shape:
+                raise ValueError(f"shape mismatch {a.name}: {ia.shape} vs {ib.shape}")
+            psnrs.append(psnr(ia, ib, data_range=255.0))
+            mses.append(mse(ia, ib))
     return {"psnr": float(np.mean(psnrs)), "mse": float(np.mean(mses)), "n_pairs": n}
 
 
@@ -74,13 +80,20 @@ def lpips_metric(input_dir: Path, label_dir: Path, vgg_ckpt: str,
     params = convert_vgg16_lpips(_load_state(vgg_ckpt), _load_state(lpips_ckpt))
     model = LPIPS()
     apply = jax.jit(lambda a, b: model.apply(params, a, b))
+    from cfgpp_tpu.native import AsyncPngReader
     ins, labs = _list_images(input_dir), _list_images(label_dir)
     n = min(len(ins), len(labs))
     vals = []
-    for i in range(0, n, batch):
-        a = np.stack([_load(p) for p in ins[i:i + batch]]) / 127.5 - 1.0
-        b = np.stack([_load(p) for p in labs[i:i + batch]]) / 127.5 - 1.0
-        vals.append(np.asarray(apply(jnp.asarray(a), jnp.asarray(b))))
+    ra = AsyncPngReader(ins[:n])
+    rb = AsyncPngReader(labs[:n])
+    with ra, rb:
+        for i in range(0, n, batch):
+            j = min(i + batch, n)
+            a = np.stack([ra.get(k) for k in range(i, j)]).astype(np.float32) \
+                / 127.5 - 1.0
+            b = np.stack([rb.get(k) for k in range(i, j)]).astype(np.float32) \
+                / 127.5 - 1.0
+            vals.append(np.asarray(apply(jnp.asarray(a), jnp.asarray(b))))
     return float(np.mean(np.concatenate(vals)))
 
 

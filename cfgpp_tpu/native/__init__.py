@@ -24,7 +24,7 @@ def _build() -> Optional[Path]:
     try:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-o", str(_SO), str(_SRC),
-             "-lz", "-lpthread"],
+             "-lz", "-lpng", "-lpthread"],
             check=True, capture_output=True, timeout=120)
         return _SO
     except Exception:
@@ -51,6 +51,18 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.imageio_pool_wait.argtypes = [ctypes.c_void_p]
     lib.imageio_pool_wait.restype = ctypes.c_int
     lib.imageio_pool_destroy.argtypes = [ctypes.c_void_p]
+    lib.imageio_read_pool_create.argtypes = [ctypes.c_int]
+    lib.imageio_read_pool_create.restype = ctypes.c_void_p
+    lib.imageio_read_submit.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.imageio_read_submit.restype = ctypes.c_int
+    lib.imageio_read_dims.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.POINTER(ctypes.c_uint32),
+                                      ctypes.POINTER(ctypes.c_uint32)]
+    lib.imageio_read_dims.restype = ctypes.c_int
+    lib.imageio_read_copy.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.c_char_p]
+    lib.imageio_read_copy.restype = ctypes.c_int
+    lib.imageio_read_pool_destroy.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -124,6 +136,78 @@ class AsyncPngWriter:
         if self._pool is not None:
             self._lib.imageio_pool_wait(self._pool)
             self._lib.imageio_pool_destroy(self._pool)
+            self._pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class AsyncPngReader:
+    """Threaded PNG decoder pool — the data-loader analog of the
+    reference's `DataLoader(num_workers=4)` metrics ingestion
+    (utils/calculate_metrics.py:98-102).  Decodes ahead on C++ threads
+    while Python consumes results in submission order; non-PNG files (or
+    a missing native lib) transparently fall back to PIL per image."""
+
+    def __init__(self, paths, n_threads: int = 8, window: int = 64):
+        self._paths = [str(p) for p in paths]
+        self._lib = get_lib()
+        self._pool = (self._lib.imageio_read_pool_create(n_threads)
+                      if self._lib is not None else None)
+        # bounded prefetch: only `window` decodes may run ahead of the
+        # consumer, so a 10k-image directory never buffers gigabytes
+        self._window = max(window, n_threads)
+        self._submitted = 0
+        if self._pool is not None:
+            self._fill(0)
+
+    def _fill(self, consumed: int) -> None:
+        hi = min(consumed + self._window, len(self._paths))
+        while self._submitted < hi:
+            self._lib.imageio_read_submit(
+                self._pool, self._paths[self._submitted].encode())
+            self._submitted += 1
+
+    @property
+    def is_native(self) -> bool:
+        return self._pool is not None
+
+    def _pil(self, path) -> np.ndarray:
+        from PIL import Image
+        return np.asarray(Image.open(path).convert("RGB"), np.uint8)
+
+    def get(self, i: int) -> np.ndarray:
+        """RGB uint8 [H, W, 3] for the i-th submitted path (blocks until
+        its decode finishes)."""
+        if self._pool is None:
+            return self._pil(self._paths[i])
+        self._fill(i + 1)
+        if i >= self._submitted:
+            # out-of-order access beyond the prefetch window
+            return self._pil(self._paths[i])
+        w = ctypes.c_uint32()
+        h = ctypes.c_uint32()
+        rc = self._lib.imageio_read_dims(self._pool, i,
+                                         ctypes.byref(w), ctypes.byref(h))
+        if rc != 0:
+            return self._pil(self._paths[i])
+        out = np.empty((h.value, w.value, 3), np.uint8)
+        rc = self._lib.imageio_read_copy(self._pool, i,
+                                         out.ctypes.data_as(ctypes.c_char_p))
+        if rc != 0:
+            return self._pil(self._paths[i])
+        return out
+
+    def __iter__(self):
+        for i in range(len(self._paths)):
+            yield self.get(i)
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._lib.imageio_read_pool_destroy(self._pool)
             self._pool = None
 
     def __enter__(self):

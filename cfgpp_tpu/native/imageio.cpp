@@ -10,6 +10,7 @@
 //
 // Build: g++ -O2 -shared -fPIC -o libimageio.so imageio.cpp -lz -lpthread
 
+#include <png.h>
 #include <zlib.h>
 
 #include <condition_variable>
@@ -17,6 +18,7 @@
 #include <cstdio>
 #include <cstring>
 #include <deque>
+#include <memory>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -191,6 +193,154 @@ int imageio_pool_wait(void* pool) {
 
 void imageio_pool_destroy(void* pool) {
   delete static_cast<Pool*>(pool);
+}
+
+}  // extern "C"
+
+namespace {
+
+// ---------- threaded PNG reader pool (the data-loader analog of the
+// reference's DataLoader(num_workers=4) in utils/calculate_metrics.py) ----
+
+struct ReadJob {
+  std::string path;
+  int state = 0;           // 0 pending, 1 ok, 2 failed
+  uint32_t w = 0, h = 0;
+  std::vector<uint8_t> rgb;
+};
+
+class ReadPool {
+ public:
+  explicit ReadPool(int n_threads) : stop_(false), next_(0) {
+    for (int i = 0; i < n_threads; ++i)
+      workers_.emplace_back([this] { Run(); });
+  }
+  ~ReadPool() {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+
+  int Submit(const char* path) {
+    std::unique_lock<std::mutex> lk(mu_);
+    int id = static_cast<int>(jobs_.size());
+    jobs_.emplace_back(new ReadJob());
+    jobs_.back()->path = path;
+    queue_.push_back(id);
+    cv_.notify_one();
+    return id;
+  }
+
+  // blocks until job `id` finishes; 0 = ok
+  int Dims(int id, uint32_t* w, uint32_t* h) {
+    std::unique_lock<std::mutex> lk(mu_);
+    if (id < 0 || id >= static_cast<int>(jobs_.size())) return -1;
+    done_cv_.wait(lk, [&] { return jobs_[id]->state != 0; });
+    if (jobs_[id]->state != 1) return 1;
+    *w = jobs_[id]->w;
+    *h = jobs_[id]->h;
+    return 0;
+  }
+
+  int CopyOut(int id, uint8_t* dst) {
+    std::unique_lock<std::mutex> lk(mu_);
+    if (id < 0 || id >= static_cast<int>(jobs_.size())) return -1;
+    done_cv_.wait(lk, [&] { return jobs_[id]->state != 0; });
+    ReadJob* j = jobs_[id].get();
+    if (j->state != 1) return 1;
+    std::memcpy(dst, j->rgb.data(), j->rgb.size());
+    j->rgb.clear();
+    j->rgb.shrink_to_fit();
+    return 0;
+  }
+
+ private:
+  void Run() {
+    for (;;) {
+      int id;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [&] { return stop_ || !queue_.empty(); });
+        if (stop_ && queue_.empty()) return;
+        id = queue_.front();
+        queue_.pop_front();
+      }
+      std::string path;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        path = jobs_[id]->path;
+      }
+      // decode outside the lock (libpng simplified API)
+      png_image image;
+      std::memset(&image, 0, sizeof image);
+      image.version = PNG_IMAGE_VERSION;
+      std::vector<uint8_t> rgb;
+      bool ok = false;
+      uint32_t w = 0, h = 0;
+      if (png_image_begin_read_from_file(&image, path.c_str())) {
+        image.format = PNG_FORMAT_RGB;
+        rgb.resize(PNG_IMAGE_SIZE(image));
+        if (png_image_finish_read(&image, nullptr, rgb.data(), 0, nullptr)) {
+          ok = true;
+          w = image.width;
+          h = image.height;
+        }
+      }
+      png_image_free(&image);
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        ReadJob* j = jobs_[id].get();
+        if (ok) {
+          j->rgb = std::move(rgb);
+          j->w = w;
+          j->h = h;
+          j->state = 1;
+        } else {
+          j->state = 2;
+        }
+        done_cv_.notify_all();
+      }
+    }
+  }
+
+  std::vector<std::thread> workers_;
+  std::vector<std::unique_ptr<ReadJob>> jobs_;
+  std::deque<int> queue_;
+  std::mutex mu_;
+  std::condition_variable cv_, done_cv_;
+  bool stop_;
+  int next_;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* imageio_read_pool_create(int n_threads) {
+  if (n_threads <= 0) n_threads = 4;
+  return new ReadPool(n_threads);
+}
+
+int imageio_read_submit(void* pool, const char* path) {
+  if (!pool) return -1;
+  return static_cast<ReadPool*>(pool)->Submit(path);
+}
+
+int imageio_read_dims(void* pool, int job_id, uint32_t* w, uint32_t* h) {
+  if (!pool) return -1;
+  return static_cast<ReadPool*>(pool)->Dims(job_id, w, h);
+}
+
+int imageio_read_copy(void* pool, int job_id, uint8_t* dst) {
+  if (!pool) return -1;
+  return static_cast<ReadPool*>(pool)->CopyOut(job_id, dst);
+}
+
+void imageio_read_pool_destroy(void* pool) {
+  delete static_cast<ReadPool*>(pool);
 }
 
 }  // extern "C"

@@ -48,3 +48,48 @@ def test_uint8_input(tmp_path):
     path = tmp_path / "u8.png"
     assert save_png_native(path, img)
     np.testing.assert_array_equal(np.asarray(Image.open(path)), img)
+
+
+def test_async_reader_parity_and_window(tmp_path):
+    """Native decoder pool returns bit-exact pixels in submission order,
+    with the bounded prefetch window; non-PNG falls back to PIL."""
+    import numpy as np
+    from PIL import Image
+
+    from cfgpp_tpu.native import AsyncPngReader
+    rng = np.random.default_rng(7)
+    paths, refs = [], []
+    for i in range(10):
+        a = rng.integers(0, 255, (16 + i, 24, 3), np.uint8)
+        p = tmp_path / f"{i:03d}.png"
+        Image.fromarray(a).save(p)
+        paths.append(p)
+        refs.append(a)
+    # one JPEG in the middle exercises the per-file PIL fallback
+    jpg = tmp_path / "005x.jpg"
+    Image.fromarray(refs[5]).save(jpg, quality=95)
+    paths[5] = jpg
+
+    with AsyncPngReader(paths, n_threads=2, window=3) as r:
+        for i, ref in enumerate(refs):
+            got = r.get(i)
+            assert got.shape == ref.shape
+            if i != 5:  # jpeg is lossy; just check it decoded
+                np.testing.assert_array_equal(got, ref)
+
+
+def test_async_reader_roundtrip_with_writer(tmp_path):
+    """Writer pool output must decode bit-exact through the reader pool."""
+    import numpy as np
+
+    from cfgpp_tpu.native import AsyncPngReader, AsyncPngWriter
+    rng = np.random.default_rng(9)
+    imgs = [rng.random((20, 20, 3)).astype(np.float32) for _ in range(4)]
+    paths = [tmp_path / f"w{i}.png" for i in range(4)]
+    with AsyncPngWriter(2) as w:
+        for p, im in zip(paths, imgs):
+            w.submit(p, im)
+    with AsyncPngReader(paths) as r:
+        for i, im in enumerate(imgs):
+            expect = (np.clip(im, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+            np.testing.assert_array_equal(r.get(i), expect)
