@@ -22,6 +22,13 @@ from flax import linen as nn
 FLASH_MIN_Q_LEN = 1024
 
 
+def _int8_score_enabled() -> bool:
+    """Kill-switch for the int8-score attention variant (set
+    CFGPP_NO_INT8_SCORE=1 to fall back to bf16 flash in quant mode)."""
+    import os
+    return os.environ.get("CFGPP_NO_INT8_SCORE") != "1"
+
+
 def sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
              mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Reference-quality attention: fp32 softmax, inputs [B, N, H, D]."""
@@ -82,7 +89,7 @@ def attention_hd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if impl == "flash":
         from cfgpp_tpu.kernels.flash_attention import (flash_attention_hd,
                                                        flash_attention_hd_int8)
-        if int8_score:
+        if int8_score and _int8_score_enabled():
             return flash_attention_hd_int8(q, k, v, num_heads, kv_len=kv_len)
         return flash_attention_hd(q, k, v, num_heads, kv_len=kv_len)
     if kv_len is not None and kv_len != k.shape[1]:
@@ -111,7 +118,7 @@ def attention_qkv_packed(qkv: jnp.ndarray, num_heads: int,
     if impl == "flash":
         from cfgpp_tpu.kernels.flash_attention import (
             flash_attention_qkv_packed, flash_attention_qkv_packed_int8)
-        if int8_score:
+        if int8_score and _int8_score_enabled():
             return flash_attention_qkv_packed_int8(qkv, num_heads)
         return flash_attention_qkv_packed(qkv, num_heads)
     q, k, v = jnp.split(qkv, 3, axis=-1)
