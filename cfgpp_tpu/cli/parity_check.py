@@ -83,14 +83,21 @@ def run_quant_drift(args):
     # latents live on the schedule's sigma scale; normalize by the exact
     # trajectory's own magnitude so the bound is scale-free
     ref_mag = float(np.mean(np.abs(z0_e)))
+    rel = worst / ref_mag
+    # int8 is a DIFFERENT numerics contract from the bf16-parity gate:
+    # W8A8 carries ~1% per-projection error by design, so the drift is
+    # judged against a relative budget (default 5%), not the 1e-2
+    # absolute bf16-parity tolerance.
+    budget = args.quant_budget
     return {
         "mode": f"quant_drift[{args.quant_mode}]",
         "model": args.model, "method": args.method, "nfe": args.NFE,
         "worst_mae": worst,
-        "worst_rel_mae": worst / ref_mag,
+        "worst_rel_mae": rel,
         "exact_z0_mean_abs": ref_mag,
-        "tolerance": args.tolerance,
-        "verdict": "PASS" if worst < args.tolerance else "FAIL",
+        "rel_budget": budget,
+        "verdict": ("WITHIN-INT8-BUDGET" if rel < budget
+                    else "EXCEEDS-INT8-BUDGET"),
         "per_step": rows,
     }
 
@@ -109,6 +116,10 @@ def main(argv=None):
                              "(no reference dump needed)")
     parser.add_argument("--quant_mode", type=str, default="all",
                         choices=("dense", "all"))
+    parser.add_argument("--quant_budget", type=float, default=0.05,
+                        help="relative per-step drift budget for "
+                             "--quant_drift (int8 is a different numerics "
+                             "contract from the bf16 parity gate)")
     parser.add_argument("--model", type=str, default="sdxl")
     parser.add_argument("--method", type=str, default="dpm++_2m_cfgpp")
     parser.add_argument("--NFE", type=int, default=25)
