@@ -130,6 +130,9 @@ class ModelBundle:
         bf16 in-context; ``mode="all"`` additionally quantizes resnet
         convs.  Numerics differ from the exact bf16 path — never the
         default."""
+        if mode not in ("dense", "all"):
+            raise ValueError(f"quantized mode must be 'dense' or 'all', "
+                             f"got {mode!r}")
         from cfgpp_tpu.weights.quantize import quantize_unet_params
         unet_q = UNet2DConditionModel(self.config.unet, dtype=self.unet.dtype,
                                       param_dtype=self.unet.param_dtype,

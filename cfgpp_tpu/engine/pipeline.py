@@ -186,8 +186,13 @@ class DiffusionEngine:
 
     def decode_fn(self) -> Callable:
         """Host-callable jitted decoder (the `decode` passed to callbacks).
-        Params are passed as arguments, not baked as jit constants."""
-        jitted = jax.jit(self._decode)
+        Params are passed as arguments, not baked as jit constants; the
+        jit wrapper is cached on the engine so repeated sample() calls
+        reuse one trace (a fresh jax.jit(self._decode) per call would
+        retrace the VAE decode every time)."""
+        if not hasattr(self, "_decode_jit"):
+            self._decode_jit = jax.jit(self._decode)
+        jitted = self._decode_jit
         vae_params = self.bundle.vae_params
         return lambda z: jitted(vae_params, z)
 
@@ -238,6 +243,9 @@ class DiffusionEngine:
             conds2 = prompt_2[1:3] if self.spec.edit else prompt_2[1:2]
             cond_slots_2 = [list(p) if isinstance(p, (list, tuple)) else [p] * batch
                             for p in conds2]
+            if any(len(s2) != batch for s2 in cond_slots_2):
+                raise ValueError("prompt_2 lists must share the prompt "
+                                 "batch size")
 
         key = jax.random.PRNGKey(seed)
         keys = jax.random.split(key, 3)  # (init, noise, enc)
@@ -411,6 +419,11 @@ class DiffusionEngine:
             if k_init.ndim == 2:
                 k_init = k_noise = k_enc = shard_batch(k_init, mesh)
 
+        if return_trajectory and unrolled:
+            raise ValueError(
+                "return_trajectory is not available in unrolled mode (the "
+                "unrolled runner exists for MUTATING callbacks and keeps no "
+                "trajectory); drop unrolled=True to capture one")
         with_traj = (callback_fn is not None or return_trajectory) and not unrolled
         runner = self._get_runner(
             mode=_needs_branches(self.spec.cfgpp, float(cfg_guidance)),
@@ -439,6 +452,14 @@ class DiffusionEngine:
                     n_cond: int, with_traj: bool, unrolled: bool,
                     clip_skip: Optional[int] = None,
                     latent_init: Optional[str] = None):
+        if clip_skip is not None and self.bundle.family != "sdxl":
+            # the reference supports clip_skip only on the SDXL dual-encoder
+            # path (latent_sdxl.py:88-92); silently ignoring it here would
+            # return final-layer embeddings while the caller believes the
+            # tap moved
+            raise ValueError("clip_skip is an SDXL-only option "
+                             "(latent_sdxl.py:88-92); the SD family always "
+                             "uses the final layer")
         cache_key = (mode, batch, res, n_cond, with_traj, unrolled, clip_skip,
                      latent_init)
         if cache_key in self._cache:
@@ -561,9 +582,7 @@ class DiffusionEngine:
         return self._u8_fn(img)
 
     def _live_params(self):
-        b = self.bundle
-        return {"unet": b.unet_params, "vae": b.vae_params,
-                "text": b.text_params, "text2": b.text_params_2}
+        return self.bundle.params()
 
     def _replay_callbacks(self, callback_fn, traj, sample_indices=None):
         """Post-hoc callback replay over the fused trajectory (non-mutating).

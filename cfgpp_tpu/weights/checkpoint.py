@@ -36,6 +36,12 @@ def load_bundle(bundle, path: str):
         bundle.unet_params = ckptr.restore(path / "unet", bundle.unet_params)
         bundle.vae_params = ckptr.restore(path / "vae", bundle.vae_params)
         bundle.text_params = ckptr.restore(path / "text", bundle.text_params)
-        if bundle.text_params_2 is not None and (path / "text2").exists():
+        if bundle.text_params_2 is not None:
+            if not (path / "text2").exists():
+                # a silent skip here would leave RANDOM encoder-2 weights
+                # in an SDXL bundle and produce garbage with no error
+                raise FileNotFoundError(
+                    f"checkpoint {path} has no text2/ but the bundle "
+                    f"({name}) needs a second text encoder")
             bundle.text_params_2 = ckptr.restore(path / "text2", bundle.text_params_2)
     return bundle

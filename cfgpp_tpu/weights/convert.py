@@ -85,10 +85,7 @@ def convert_unet(state: Dict[str, np.ndarray]) -> dict:
         m = _UNET_BLOCK_RE.match(key)
         if m:
             blk, i, sub, j, rest = m.groups()
-            if sub == "downsamplers" or sub == "upsamplers":
-                top = f"{blk}_{i}_{sub}_{j}"
-            else:
-                top = f"{blk}_{i}_{sub}_{j}"
+            top = f"{blk}_{i}_{sub}_{j}"
             path, v = _leaf(rest, value)
             _set(tree, (top,) + path, v)
             continue

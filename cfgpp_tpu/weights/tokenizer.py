@@ -49,10 +49,23 @@ def _get_pairs(word):
     return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
 
 
-_WORD_PAT = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|[^\s\w]+""",
-    re.IGNORECASE,
-)
+# CLIP's exact pre-tokenizer (openai/CLIP simple_tokenizer): the \p{L} /
+# \p{N} classes need the third-party `regex` module (a transformers
+# dependency, present wherever HF is).  The `re` fallback approximates:
+# letters = [^\W\d_], numbers = \d, and the punctuation run must INCLUDE
+# '_' (not a letter/number to CLIP but IS \w — 'snow_leopard' must split
+# snow / _ / leopard); it only diverges on non-ASCII numerals like '²'.
+try:
+    import regex as _regex
+    _WORD_PAT = _regex.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        _regex.IGNORECASE,
+    )
+except ImportError:
+    _WORD_PAT = re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|(?:[^\s\w]|_)+""",
+        re.IGNORECASE,
+    )
 
 
 def _whitespace_clean(text: str) -> str:
@@ -143,11 +156,15 @@ class HashTokenizer:
     """
 
     def __init__(self, vocab_size: int = 49408, eos_token_id: int = EOS_ID,
-                 model_max_length: int = MODEL_MAX_LENGTH):
+                 model_max_length: int = MODEL_MAX_LENGTH,
+                 pad_token_id: "Optional[int]" = None):
         self.vocab_size = vocab_size
         self.bos_id = eos_token_id - 1
         self.eos_id = eos_token_id
-        self.pad_id = eos_token_id
+        # SDXL's tokenizer_2 pads with id 0 ('!'), not EOS — the fallback
+        # must mirror that or pad-sensitive paths (masking, pooled-output
+        # position) behave differently from real-tokenizer environments
+        self.pad_id = eos_token_id if pad_token_id is None else pad_token_id
         self.model_max_length = model_max_length
 
     def encode(self, text: str) -> List[int]:
@@ -178,4 +195,5 @@ def load_tokenizer(tokenizer_dir: Optional[str] = None, vocab_size: int = 49408,
         vocab, merges = p / "vocab.json", p / "merges.txt"
         if vocab.exists() and merges.exists():
             return CLIPTokenizer(str(vocab), str(merges), pad_token_id=pad_token_id)
-    return HashTokenizer(vocab_size=vocab_size, eos_token_id=eos_token_id)
+    return HashTokenizer(vocab_size=vocab_size, eos_token_id=eos_token_id,
+                         pad_token_id=pad_token_id)
