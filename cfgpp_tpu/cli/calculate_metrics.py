@@ -45,6 +45,15 @@ def paired_metrics(input_dir: Path, label_dir: Path, logger):
         logger.warning("directory sizes differ: %d vs %d; using min",
                        len(ins), len(labs))
     n = min(len(ins), len(labs))
+    mismatched = sum(a.name != b.name for a, b in zip(ins[:n], labs[:n]))
+    if mismatched:
+        # the reference pairs positionally over sorted listings
+        # (utils/calculate_metrics.py:91-126); same-named dirs make the
+        # pairing unambiguous, so a name mismatch usually means an off-by-
+        # one listing and every downstream pair compares unrelated images
+        logger.warning("%d/%d pairs have mismatched filenames — paired "
+                       "metrics may be comparing unrelated images",
+                       mismatched, n)
     psnrs, mses = [], []
     # interleaved A/B submission: the native decoder pool (C++ threads,
     # cfgpp_tpu/native) decodes ahead while Python computes the metrics —
@@ -151,7 +160,8 @@ def main(argv=None):
     if args.prompts and args.clip_ckpt:
         from cfgpp_tpu.metrics.clip_score import (clip_score_from_features,
                                                   clip_text_features)
-        prompts = [ln for ln in args.prompts.read_text().splitlines() if ln.strip()]
+        prompts = [ln.strip() for ln in args.prompts.read_text().splitlines()
+                   if ln.strip()]
         imgs = _list_images(args.input_dir)
         n = min(len(prompts), len(imgs))
         if len(prompts) != len(imgs):

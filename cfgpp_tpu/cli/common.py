@@ -68,8 +68,15 @@ def build_engine(args, nfe: Optional[int] = None) -> DiffusionEngine:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if getattr(args, "light_ckpt", None):
         from cfgpp_tpu.weights.single_file import load_single_file_bundle
-        bundle = ModelBundle.random_init(args.model, seed=0, dtype=dtype,
-                                         param_dtype=dtype)
+        # --ckpt_dir (when given) supplies the base text encoders/VAE; the
+        # single-file checkpoint overlays the distilled UNet on top —
+        # previously ckpt_dir was silently ignored here
+        if args.ckpt_dir:
+            bundle = ModelBundle.from_pretrained(args.ckpt_dir, args.model,
+                                                 dtype=dtype, param_dtype=dtype)
+        else:
+            bundle = ModelBundle.random_init(args.model, seed=0, dtype=dtype,
+                                             param_dtype=dtype)
         bundle = load_single_file_bundle(bundle, args.light_ckpt)
     elif args.ckpt_dir:
         bundle = ModelBundle.from_pretrained(args.ckpt_dir, args.model,

@@ -80,10 +80,17 @@ def run_quant_drift(args):
     _, (z0_e, zt_e) = exact.sample(prompt, **kw)
     _, (z0_q, zt_q) = quant.sample(prompt, **kw)
     rows, worst = compare_trajectories(z0_q, zt_q, z0_e, zt_e)
-    # latents live on the schedule's sigma scale; normalize by the exact
-    # trajectory's own magnitude so the bound is scale-free
+    # normalize PER STEP and PER TRAJECTORY: zt lives on the sigma scale
+    # (up to ~14.6 at sigma_0 for VE-style plans) while z0t is O(1) — one
+    # shared normalizer would let a healthy 1% zt drift blow the budget
+    rel = 0.0
+    for i, r in enumerate(rows):
+        mag_z0 = float(np.mean(np.abs(z0_e[i])))
+        mag_zt = float(np.mean(np.abs(zt_e[i])))
+        r["rel_z0t"] = r["mae_z0t"] / max(mag_z0, 1e-6)
+        r["rel_zt"] = r["mae_zt"] / max(mag_zt, 1e-6)
+        rel = max(rel, r["rel_z0t"], r["rel_zt"])
     ref_mag = float(np.mean(np.abs(z0_e)))
-    rel = worst / ref_mag
     # int8 is a DIFFERENT numerics contract from the bf16-parity gate:
     # W8A8 carries ~1% per-projection error by design, so the drift is
     # judged against a relative budget (default 5%), not the 1e-2
@@ -132,7 +139,7 @@ def main(argv=None):
     if args.quant_drift:
         out = run_quant_drift(args)
         print(json.dumps(out))
-        return 0 if out["verdict"] == "PASS" else 1
+        return 0 if out["verdict"] == "WITHIN-INT8-BUDGET" else 1
     if not args.dump or not args.ckpt_dir:
         parser.error("--dump and --ckpt_dir are required unless --quant_drift")
 

@@ -43,7 +43,8 @@ def main(argv=None):
     engine = build_engine(args)
     prompt_2 = None
     if args.prompt_2 is not None or args.null_prompt_2 is not None:
-        prompt_2 = [args.null_prompt_2 or args.null_prompt,
+        prompt_2 = [args.null_prompt_2 if args.null_prompt_2 is not None
+                    else args.null_prompt,
                     args.prompt_2 if args.prompt_2 is not None else args.prompt]
     with maybe_profile(args):
         result = engine.sample(

@@ -129,6 +129,7 @@ def main(argv=None):
         failed = writer.wait()
         if failed:
             print(f"WARNING: {failed} image writes failed")
+            done -= failed          # count only images actually on disk
 
     stats = {"num_images": done, "seconds": time.time() - t0,
              "images_per_sec": done / max(time.time() - t0, 1e-9)}

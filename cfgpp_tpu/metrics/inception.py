@@ -209,6 +209,17 @@ def convert_inception(state: Mapping[str, np.ndarray]) -> Dict:
     return {"params": tree}
 
 
+@functools.lru_cache(maxsize=2)
+def _cached_extractor(ckpt_path: str):
+    """Load + convert + jit once per checkpoint path: a FID run calls the
+    extractor for BOTH directories and would otherwise pay two weight
+    loads and two XLA compiles of the Inception tower."""
+    state = _load_state_dict(ckpt_path)
+    model = InceptionV3Features()
+    params = convert_inception(state)
+    return jax.jit(lambda px: model.apply(params, px))
+
+
 def inception_features(paths, ckpt_path: str, batch: int = 50) -> np.ndarray:
     """Image files -> [N, 2048] FID features (weights from a .pth/.safetensors
     pytorch-fid state dict).
@@ -220,10 +231,7 @@ def inception_features(paths, ckpt_path: str, batch: int = 50) -> np.ndarray:
     own batched loader) are host-resized per image to 299 with PIL
     bilinear first; the kernel difference is logged since resize choice
     can shift FID slightly."""
-    state = _load_state_dict(ckpt_path)
-    model = InceptionV3Features()
-    params = convert_inception(state)
-    apply = jax.jit(lambda px: model.apply(params, px))
+    apply = _cached_extractor(str(ckpt_path))
 
     from PIL import Image
     sizes = set()

@@ -238,8 +238,8 @@ def plan_dpmpp_2m_vp_sdxl(schedule: DDIMSchedule) -> SolverPlan:
     n = len(ts) - 1                                       # loops timesteps[:-1]
     t_model = sigma_to_t_linear(sigmas[:n], total_sigmas, quantize=True)
     c_in = np.sqrt(alphas[:n])                            # latent_sdxl.py:895
-    plan = _plan_2m_from_sigmas(sigmas, n, t_model, c_in, init_scale=float(sigmas[0]))
-    return dataclasses.replace(plan, init="ve_scaled")
+    return _plan_2m_from_sigmas(sigmas, n, t_model, c_in,
+                                init_scale=float(sigmas[0]))
 
 
 def plan_euler_vp_sigmas_sdxl(schedule: DDIMSchedule) -> SolverPlan:
