@@ -68,6 +68,22 @@ def clip_text_features(prompts: Sequence[str], clip_ckpt: str,
     return out / np.linalg.norm(out, axis=-1, keepdims=True)
 
 
+@functools.lru_cache(maxsize=2)
+def _cached_vision_extractor(clip_ckpt: str):
+    """Load + convert + jit the CLIP vision tower once per checkpoint: a
+    CLIP-FID run extracts features for BOTH directories."""
+    import jax
+
+    from cfgpp_tpu.models.clip_vision import (CLIPVisionConfig,
+                                              CLIPVisionModel)
+    from cfgpp_tpu.weights.convert import convert_clip_vision
+
+    state = _load_state(clip_ckpt)
+    model = CLIPVisionModel(CLIPVisionConfig())
+    params = convert_clip_vision(state)
+    return jax.jit(lambda px: model.apply(params, px))
+
+
 def clip_image_features(paths: Sequence[str], clip_ckpt: str,
                         batch: int = 64) -> np.ndarray:
     """Image files -> [N, projection_dim] L2-normalized image embeddings.
@@ -87,10 +103,7 @@ def clip_image_features(paths: Sequence[str], clip_ckpt: str,
                                               preprocess_for_clip)
     from cfgpp_tpu.weights.convert import convert_clip_vision
 
-    state = _load_state(clip_ckpt)
-    model = CLIPVisionModel(CLIPVisionConfig())
-    params = convert_clip_vision(state)
-    apply = jax.jit(lambda px: model.apply(params, px))
+    apply = _cached_vision_extractor(str(clip_ckpt))
 
     def load224(p):
         im = Image.open(p).convert("RGB")
