@@ -231,6 +231,9 @@ def inception_features(paths, ckpt_path: str, batch: int = 50) -> np.ndarray:
     own batched loader) are host-resized per image to 299 with PIL
     bilinear first; the kernel difference is logged since resize choice
     can shift FID slightly."""
+    if not paths:
+        raise ValueError("inception_features: no images given (empty or "
+                         "unmatched directory?)")
     apply = _cached_extractor(str(ckpt_path))
 
     from PIL import Image

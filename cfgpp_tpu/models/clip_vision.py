@@ -89,8 +89,19 @@ CLIP_IMAGE_STD = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
 
 
 def preprocess_for_clip(images01: jnp.ndarray, size: int = 224) -> jnp.ndarray:
-    """[B,H,W,3] in [0,1] -> resized + CLIP-normalized [B,size,size,3]."""
+    """[B,H,W,3] in [0,1] -> resized + CLIP-normalized [B,size,size,3].
+
+    Square inputs only: a batched squash-resize of non-square images would
+    distort aspect ratio and silently diverge from the CLIP processor's
+    shortest-side-resize + center-crop — crop on the host first
+    (metrics/clip_score.py:load224 is the reference implementation).
+    """
     import jax
-    imgs = jax.image.resize(images01, (images01.shape[0], size, size, 3),
-                            method="bicubic")
+    b, h, w, _ = images01.shape
+    if h != w:
+        raise ValueError(
+            f"preprocess_for_clip needs square images (got {h}x{w}); "
+            "resize-shortest-side + center-crop on the host first "
+            "(see metrics/clip_score.py:load224)")
+    imgs = jax.image.resize(images01, (b, size, size, 3), method="bicubic")
     return (imgs - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD

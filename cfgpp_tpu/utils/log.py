@@ -11,16 +11,21 @@ from typing import Optional, Sequence
 def get_logger(name: str = "cfgpp_tpu", level: int = logging.INFO,
                logfile: Optional[str] = None) -> logging.Logger:
     logger = logging.getLogger(name)
+    fmt = logging.Formatter("%(asctime)s [%(levelname)s] %(name)s: %(message)s")
     if not logger.handlers:
-        fmt = logging.Formatter("%(asctime)s [%(levelname)s] %(name)s: %(message)s")
         sh = logging.StreamHandler(sys.stdout)
         sh.setFormatter(fmt)
         logger.addHandler(sh)
-        if logfile:
-            fh = logging.FileHandler(logfile)
-            fh.setFormatter(fmt)
-            logger.addHandler(fh)
-        logger.setLevel(level)
+    # honor level/logfile on EVERY call: a get_logger(name) early in the
+    # process must not freeze the config against later, more specific calls
+    logger.setLevel(level)
+    if logfile and not any(
+            isinstance(h, logging.FileHandler)
+            and getattr(h, "baseFilename", None) == str(Path(logfile).absolute())
+            for h in logger.handlers):
+        fh = logging.FileHandler(logfile)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
     return logger
 
 

@@ -26,10 +26,14 @@ def trace(logdir: str):
 
 
 class StepTimer:
-    """Wall-clock section timing with device synchronization.
+    """Wall-clock section timing.
 
-    ``block_until_ready`` is applied to the section result so timings measure
-    device completion, not dispatch.
+    Device synchronization happens ONLY when the caller passes ``sync_on``
+    (the section's result) — without it a section around an async jax
+    dispatch measures dispatch latency, not device completion.  Note the
+    tunneled-TPU caveat: block_until_ready can return early there; for
+    trustworthy numbers materialize one element to host (see bench.py's
+    sync helper) or use jax.profiler traces.
     """
 
     def __init__(self):

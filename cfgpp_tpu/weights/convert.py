@@ -177,7 +177,15 @@ def convert_clip_text(state: Dict[str, np.ndarray]) -> dict:
             name, kind = m.groups()
             _set(tree, (name, "scale" if kind == "weight" else "bias"), value)
             continue
+        # combined CLIPModel checkpoints (e.g. openai/clip-vit-large-
+        # patch14 model.safetensors) carry BOTH towers + logit_scale; the
+        # text converter must skip the vision half instead of crashing
+        if key.startswith(("vision_model.", "visual_projection")) \
+                or key == "logit_scale":
+            continue
         raise KeyError(f"unhandled CLIP key: {key}")
+    if not tree:
+        raise KeyError("no text_model.* keys found in the CLIP state dict")
     return {"params": tree}
 
 
@@ -210,7 +218,13 @@ def convert_clip_vision(state: Dict[str, np.ndarray]) -> dict:
             name, kind = m.groups()
             _set(tree, (name, "scale" if kind == "weight" else "bias"), value)
             continue
+        # combined CLIPModel checkpoints carry both towers + logit_scale
+        if key.startswith(("text_model.", "text_projection")) \
+                or key == "logit_scale":
+            continue
         raise KeyError(f"unhandled CLIP vision key: {key}")
+    if not tree:
+        raise KeyError("no vision_model.* keys found in the CLIP state dict")
     return {"params": tree}
 
 
