@@ -313,9 +313,13 @@ def int8_conv3x3(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
             dimension_semantics=("arbitrary", "arbitrary"),
             # the default 16MB scoped-vmem limit rejects the measured-best
             # block configs in-context (e.g. br=32 at [8,32,32,640]->1280:
-            # "size 17.02M and limit 16.00M"); v5e has 128MB of VMEM, so
-            # raise the per-kernel ceiling to match the picker's budget
-            vmem_limit_bytes=32 * 1024 * 1024),
+            # "size 17.02M and limit 16.00M"; [8,64,64,1920]->640 br=8/
+            # bo=640 with the fused GN prologue: "size 37.24M and limit
+            # 32.00M" — the fused-in f32 window transients bill to scoped
+            # vmem in-context even though the standalone sweep compiled).
+            # v5e has 128MB of VMEM, so give the per-kernel ceiling real
+            # headroom over the picker's budget
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return out.reshape(b, h, w, o)

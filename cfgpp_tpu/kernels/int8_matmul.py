@@ -214,14 +214,18 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
         in_specs += [pl.BlockSpec((1, k), lambda i, j: (0, 0)),
                      pl.BlockSpec((1, k), lambda i, j: (0, 0))]
     elif use_affine:
+        # Carried as [num_blocks, 1, K] so the block's last two dims are
+        # (1, K) == the array's — Mosaic requires the trailing block dims
+        # to be (8,128)-divisible OR whole; a [num_blocks, K] layout with
+        # (1, K) blocks fails that check on real TPU lowering.
         blocks_per_sample = (m // affine_scale.shape[0]) // bm
         ga = jnp.repeat(affine_scale.astype(jnp.float32),
-                        blocks_per_sample, axis=0)
+                        blocks_per_sample, axis=0)[:, None, :]
         gb = jnp.repeat(affine_bias.astype(jnp.float32),
-                        blocks_per_sample, axis=0)
+                        blocks_per_sample, axis=0)[:, None, :]
         args += [ga, gb]
-        in_specs += [pl.BlockSpec((1, k), lambda i, j: (i, 0)),
-                     pl.BlockSpec((1, k), lambda i, j: (i, 0))]
+        in_specs += [pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0)),
+                     pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0))]
     else:
         args += [jnp.zeros((1, 1), jnp.float32)] * 2
         in_specs += [pl.BlockSpec((1, 1), lambda i, j: (0, 0))] * 2
