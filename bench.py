@@ -34,9 +34,10 @@ OP_POINTS = {
     # b2 0.300, b4 0.371, b6 0.341, b8 0.351 img/s) — big enough to tile
     # the MXU well, small enough to stay out of HBM pressure
     "sdxl": ("sdxl", "dpm++_2m_cfgpp", 1024, 25, 3, 4, 5.0, "SDXL", False),
-    # opt-in int8 W8A8 (Pallas fused matmul, dense-only): NOT the exact
-    # path — numerics differ from bf16; reported separately.  Runs right
-    # after sdxl to share its base bundle (HBM holds one base at a time)
+    # opt-in int8 W8A8 (fused Pallas kernels; --quant_mode all covers the
+    # resnet convs + attention scores too): NOT the exact path — numerics
+    # differ from bf16; reported separately.  Runs right after sdxl to
+    # share its base bundle (HBM holds one base at a time)
     "sdxl_int8": ("sdxl", "dpm++_2m_cfgpp", 1024, 25, 3, 4, 5.0,
                   "SDXL-int8-W8A8", True),
     # sd15 b4 1.175 img/s vs b1 0.90, b8 1.185 (flat); lightning b4 1.53
@@ -231,11 +232,13 @@ def main():
                              "runs the interleaved bf16-vs-int8 comparison")
     parser.add_argument("--ab_pairs", type=int, default=10,
                         help="number of interleaved A/B pairs for --op_point ab")
-    parser.add_argument("--quant_mode", type=str, default="dense",
+    parser.add_argument("--quant_mode", type=str, default="all",
                         choices=("dense", "all"),
-                        help="int8 coverage for quant op-points: dense "
-                             "(projections only) or all (+ resnet convs via "
-                             "the fused Pallas int8_conv3x3)")
+                        help="int8 coverage for quant op-points: all (full "
+                             "fusion campaign incl. resnet convs via the "
+                             "fused Pallas int8_conv3x3 — measured 0.4667 "
+                             "img/s vs 0.394 dense vs 0.371 exact bf16) or "
+                             "dense (projections only)")
     parser.add_argument("--segments", action="store_true",
                         help="also measure per-segment times (text/UNet/VAE) "
                              "for the headline op-point")
