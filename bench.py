@@ -3,10 +3,17 @@
 Op-points (BASELINE.md):
   * sdxl           — SDXL 1024^2 25-NFE dpm++_2m_cfgpp, w=5.0 (headline;
                      the driver's north star is >= 1 image/sec/chip on v5e)
+  * sdxl_int8      — same, opt-in fused W8A8 path (INT8.md)
   * sd15           — SD-v1.5 512^2 50-NFE ddim_cfg++, lambda=0.6
                      (reference flagship command, README.md:62)
   * sdxl_lightning — SDXL-Lightning 1024^2 4-NFE ddim_cfg++_lightning, w=1
                      (reference published config, README.md:70-74)
+  * inversion      — SD-v1.5 512^2 10-NFE ddim_inversion_cfg++, lambda=0.6
+                     (reference inversion config, examples/inversion.py:33-35)
+
+The default full run also measures per-segment times for sdxl/sdxl_int8
+and a 5-pair interleaved bf16-vs-int8 A/B block (keys ``segments``/``ab``)
+so the driver artifact is a self-contained evidence ledger.
 
 Weights are random-init bf16 at the true architectures (2.57B-param SDXL
 UNet, dual text encoders) — the compute graph is identical to a
@@ -45,6 +52,11 @@ OP_POINTS = {
     "sd15": ("sd15", "ddim_cfg++", 512, 50, 5, 4, 0.6, "SD-v1.5", False),
     "sdxl_lightning": ("sdxl_lightning", "ddim_cfg++_lightning", 1024, 4,
                        5, 4, 1.0, "SDXL-Lightning", False),
+    # reference inversion op-point (examples/inversion.py:33-35, README:88):
+    # encode -> NFE-step forward inversion scan -> NFE-step resample scan,
+    # the double-loop no other op-point exercises
+    "inversion": ("sd15", "ddim_inversion_cfg++", 512, 10, 5, 4, 0.6,
+                  "SD-v1.5-inversion", False),
 }
 
 
@@ -107,16 +119,24 @@ def _measure_segments(engine, bundle, res, jnp):
 
 
 def run_op_point(name, jnp, on_tpu, bundle_cache, segments=False,
-                 quant_mode="dense"):
+                 quant_mode="dense", batch_override=None):
+    import numpy as np
+
     from cfgpp_tpu.engine import DiffusionEngine, ModelBundle
     from cfgpp_tpu.utils.flops import pipeline_flops
 
     model, solver, res, nfe, reps, batch, w, family, quant = OP_POINTS[name]
     dtype = jnp.bfloat16
     if not on_tpu:  # CPU smoke fallback so the script always runs
-        model, res, nfe, reps, batch = "tiny_sdxl", 64, 4, 2, 2
-        solver, w, family, quant = "dpm++_2m_cfgpp", 5.0, "SDXL", False
+        if "inversion" in solver:
+            model, res, nfe, reps, batch = "tiny_sd", 32, 2, 2, 2
+            w, family, quant = 0.6, "SD-tiny-inversion", False
+        else:
+            model, res, nfe, reps, batch = "tiny_sdxl", 64, 4, 2, 2
+            solver, w, family, quant = "dpm++_2m_cfgpp", 5.0, "SDXL", False
         dtype = jnp.float32
+    if batch_override:
+        batch = batch_override
 
     if model not in bundle_cache:
         bundle_cache[model] = ModelBundle.random_init(model, dtype=dtype,
@@ -128,11 +148,21 @@ def run_op_point(name, jnp, on_tpu, bundle_cache, segments=False,
     engine = DiffusionEngine(bundle, solver=solver, nfe=nfe)
     prompts = [f"benchmark prompt {i}" for i in range(batch)]
 
+    inversion = "inversion" in solver
+    src_imgs = None
+    if inversion:
+        # fixed synthetic source images in [-1,1] (content does not affect
+        # timing; the encode+invert+resample graph is the thing measured)
+        src_imgs = np.asarray(
+            np.random.RandomState(0).uniform(-1, 1, (batch, res, res, 3)),
+            np.float32)
+
     def one(seed):
         # batched generation, the same shape the sharded MS-COCO engine
         # runs per chip
         return engine.sample_batch("", prompts, cfg_guidance=w,
-                                   seed=seed, resolution=res, to_uint8=True)
+                                   seed=seed, resolution=res, to_uint8=True,
+                                   src_imgs=src_imgs)
 
     one(0)  # compile + warmup
     t0 = time.perf_counter()
@@ -142,6 +172,11 @@ def run_op_point(name, jnp, on_tpu, bundle_cache, segments=False,
     dt = (time.perf_counter() - t0) / reps
 
     n_model_steps = nfe - 1 if solver.startswith("dpm++_2m") else nfe
+    if inversion:
+        # forward-inversion scan + resample scan (latent_diffusion.py:
+        # 888-957); VAE encode excluded from the FLOP count like decode's
+        # sibling text encode (<2% at 512^2)
+        n_model_steps = 2 * nfe
     # CFG++ needs the true unconditional eps even at w=1 (the lightning
     # op-point runs dual-branch); only plain-CFG w=1 / any w=0 is single
     from cfgpp_tpu.engine.pipeline import _needs_branches
@@ -241,8 +276,26 @@ def main():
                              "dense (projections only)")
     parser.add_argument("--segments", action="store_true",
                         help="also measure per-segment times (text/UNet/VAE) "
-                             "for the headline op-point")
+                             "for the sdxl + sdxl_int8 op-points (the "
+                             "default full run includes them already)")
+    parser.add_argument("--no_segments", action="store_true",
+                        help="skip the per-segment measurements in the "
+                             "default full run")
+    parser.add_argument("--no_ab", action="store_true",
+                        help="skip the paired A/B block in the default run")
+    parser.add_argument("--sweep_batch", type=str, default=None,
+                        help="comma-separated batch sizes to sweep for the "
+                             "chosen --op_point (e.g. 4,6,8,12,16); prints "
+                             "one JSON line with the sweep table")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the env TPU plugin "
+                             "registers regardless of JAX_PLATFORMS; this "
+                             "goes through jax.config like tests/conftest)")
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
 
@@ -260,22 +313,47 @@ def main():
         print(json.dumps(run_ab_pairs(jnp, pairs=args.ab_pairs,
                                       quant_mode=args.quant_mode)))
         return
+    if args.sweep_batch:
+        if args.op_point in ("all", "ab"):
+            raise SystemExit("--sweep_batch needs a single --op_point")
+        rows = {}
+        for b in (int(x) for x in args.sweep_batch.split(",")):
+            r = run_op_point(args.op_point, jnp, on_tpu, {},
+                             quant_mode=args.quant_mode, batch_override=b)
+            rows[b] = {"value": r["value"],
+                       "seconds_per_image": r["seconds_per_image"],
+                       "mfu": r["mfu"]}
+        best = max(rows, key=lambda b: rows[b]["value"])
+        print(json.dumps({"metric": f"{args.op_point} batch sweep",
+                          "quant_mode": args.quant_mode,
+                          "sweep": rows, "best_batch": best,
+                          "best_value": rows[best]["value"]}))
+        return
     names = list(OP_POINTS) if (args.op_point == "all" and on_tpu) \
         else [args.op_point if args.op_point != "all" else "sdxl"]
+    full_run = args.op_point == "all" and on_tpu
+    want_segments = (args.segments or full_run) and not args.no_segments
 
     results = {}
     bundle_cache = {}
     for name in names:
         if OP_POINTS[name][0] not in bundle_cache:
             bundle_cache.clear()     # one base model resident at a time
+        seg = want_segments and (name in ("sdxl", "sdxl_int8")
+                                 or args.op_point == name)
         results[name] = run_op_point(name, jnp, on_tpu, bundle_cache,
-                                     segments=(args.segments and name == "sdxl"),
+                                     segments=seg,
                                      quant_mode=args.quant_mode)
 
     head = results.get("sdxl", next(iter(results.values())))
     line = dict(head)
     line["vs_baseline"] = round(head["value"] / 1.0, 4)
     line["op_points"] = results
+    if full_run and not args.no_ab:
+        # small paired bf16-vs-int8 block so the driver artifact carries
+        # interleaved statistics, not just separately-measured op-points
+        bundle_cache.clear()
+        line["ab"] = run_ab_pairs(jnp, pairs=5, quant_mode=args.quant_mode)
     print(json.dumps(line))
 
 
