@@ -117,9 +117,21 @@ class DiffusionEngine:
         is_v = self.bundle.config.unet.prediction_type == "v_prediction"
         abar = jnp.asarray(self.schedule.alphas_cumprod, jnp.float32)
 
-        def apply(z, t, ctx, added):
+        def kv_cache(ctx):
+            # hoist the cross-attn kv projections (context-only, constant
+            # across the scan) out of the per-step loop; ~140 context
+            # matmuls/step disappear.  CFGPP_NO_KV_CACHE=1 disables (A/B).
+            import os
+            if os.environ.get("CFGPP_NO_KV_CACHE") == "1":
+                return None
+            from cfgpp_tpu.models.unet import precompute_cross_kv
+            return precompute_cross_kv(unet_params, self.bundle.config.unet,
+                                       ctx, quant=unet.quant,
+                                       dtype=unet.dtype)
+
+        def apply(z, t, ctx, added, cross_kv=None):
             args = (z, t, ctx) + (added if added is not None else ())
-            out = unet.apply(unet_params, *args)
+            out = unet.apply(unet_params, *args, cross_kv=cross_kv)
             if is_v:
                 # v -> eps at the model boundary (SD2.x-768v):
                 # eps = sqrt(abar_t) v + sqrt(1-abar_t) x_t
@@ -134,20 +146,22 @@ class DiffusionEngine:
             if added_uc is not None:
                 added = tuple(jnp.concatenate([a, b], axis=0)
                               for a, b in zip(added_uc, added_c))
+            ckv = kv_cache(ctx)
 
             def eps_fn(z, t):
                 b = z.shape[0]
                 z2 = jnp.concatenate([z, z], axis=0)
                 t2 = jnp.broadcast_to(t, (2 * b,))
-                out = apply(z2, t2, ctx, added)
+                out = apply(z2, t2, ctx, added, ckv)
                 return out[:b], out[b:]
             return eps_fn
 
         ctx = uc if needs_uc else c
         added = added_uc if needs_uc else added_c
+        ckv = kv_cache(ctx)
 
         def eps_fn(z, t):
-            out = apply(z, jnp.broadcast_to(t, (z.shape[0],)), ctx, added)
+            out = apply(z, jnp.broadcast_to(t, (z.shape[0],)), ctx, added, ckv)
             return out, out
         return eps_fn
 

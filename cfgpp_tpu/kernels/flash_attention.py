@@ -64,21 +64,72 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 from cfgpp_tpu.kernels.common import cdiv as _cdiv  # noqa: E402
 
 
-def _kernel_single(q_ref, k_ref, v_ref, o_ref, *, kv_len, bkv, d, hpb,
+def _build_v_aug(v_ref, va_s, d):
+    """Fill the sum-augmentation scratch for the d=64 / hpb=2 layout.
+
+    ``va_s[j]`` is head j's value block kept in its native channel half of
+    the 128-lane tile, with a 1.0 column dropped into the OTHER half
+    (col d for head 0, col 0 for head 1).  The ``p @ va_s[j]`` MXU dot
+    then produces BOTH p@v (the head's 64 columns) and the softmax row sum
+    l (the ones column) in one pass — the 64-wide pv dot already wastes
+    half its 128 output lanes, so the l column rides for free and the
+    separate [bq, bkv] VPU sum pass disappears.  Built once per (batch,
+    head-pair) grid row (`pl.when(iq == 0)`), amortized over all q blocks.
+    """
+    # f32 working set: Mosaic cannot relayout the (8,128)-tiled i1 iota
+    # masks onto (16,128)-tiled bf16 vectors ("Invalid relayout" at
+    # compile); the f32 selects + one cast run once per (batch, head-pair)
+    vb = v_ref[0].astype(jnp.float32)           # [bkv, 128]: v0 | v1
+    col = jax.lax.broadcasted_iota(jnp.int32, vb.shape, 1)
+    one = jnp.ones_like(vb)
+    zero = jnp.zeros_like(vb)
+    dt = v_ref.dtype
+    va_s[0] = jnp.where(col < d, vb, jnp.where(col == d, one, zero)).astype(dt)
+    va_s[1] = jnp.where(col >= d, vb, jnp.where(col == 0, one, zero)).astype(dt)
+
+
+def _pv_sum_mxu(p, va_s, j, d, o_ref):
+    """p @ v and the row sum l in one augmented MXU dot; write o = pv/l."""
+    u = jax.lax.dot_general(p, va_s[j], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if j == 0:
+        o_ref[0, :, 0:d] = (u[:, 0:d] / u[:, d:d + 1]).astype(o_ref.dtype)
+    else:
+        o_ref[0, :, d:2 * d] = (u[:, d:2 * d] / u[:, 0:1]).astype(o_ref.dtype)
+
+
+def _kernel_single(q_ref, k_ref, v_ref, o_ref, *maybe_va, kv_len, bkv, d, hpb,
                    q_scale=None):
-    """One kv block covers the whole sequence: plain (not running) softmax."""
+    """One kv block covers the whole sequence: plain (not running) softmax.
+
+    With the optional ``va_s`` scratch (d=64/hpb=2 — every SDXL UNet
+    attention site) the kernel runs sum-free: see `_build_v_aug`.  The
+    kernel is VPU-bound, so dropping one of its three [bq, bkv] VPU
+    passes (mask-free self-attention: max, exp2, sum) is the lever block
+    tuning could not reach (docstring header)."""
+    sum_mxu = bool(maybe_va)
+    if sum_mxu:
+        va_s = maybe_va[0]
+
+        @pl.when(pl.program_id(1) == 0)
+        def _build():
+            _build_v_aug(v_ref, va_s, d)
     for j in range(hpb):
         q = q_ref[0, :, j * d:(j + 1) * d]
         if q_scale is not None:
             q = (q.astype(jnp.float32) * q_scale).astype(q_ref.dtype)
         k = k_ref[0, :, j * d:(j + 1) * d]
-        v = v_ref[0, :, j * d:(j + 1) * d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if kv_len < bkv:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
+        if sum_mxu:
+            p = jnp.exp2(s - m).astype(v_ref.dtype)
+            _pv_sum_mxu(p, va_s, j, d, o_ref)
+            continue
+        v = v_ref[0, :, j * d:(j + 1) * d]
         p = jnp.exp2(s - m).astype(v.dtype)
         l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
         pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
@@ -86,8 +137,8 @@ def _kernel_single(q_ref, k_ref, v_ref, o_ref, *, kv_len, bkv, d, hpb,
         o_ref[0, :, j * d:(j + 1) * d] = (pv / l).astype(o_ref.dtype)
 
 
-def _kernel_single_int8(q_ref, k_ref, v_ref, o_ref, *, kv_len, bkv, d, hpb,
-                        q_scale):
+def _kernel_single_int8(q_ref, k_ref, v_ref, o_ref, *maybe_va, kv_len, bkv,
+                        d, hpb, q_scale):
     """Single-pass attention with the score dot on the int8 MXU (394 TOPS).
 
     q/k quantize IN-KERNEL on the VMEM-resident blocks (per-row scales
@@ -102,7 +153,16 @@ def _kernel_single_int8(q_ref, k_ref, v_ref, o_ref, *, kv_len, bkv, d, hpb,
     matrix at int8 resolution measured up to 16% relative error on flat
     softmax rows (the 1/127 step is too coarse for many small p).
     ``q_scale`` folds the softmax scale and log2 e into the dequant.
+    Like `_kernel_single`, takes the sum-free MXU route (`_build_v_aug`)
+    when the ``va_s`` scratch is supplied (d=64/hpb=2).
     """
+    sum_mxu = bool(maybe_va)
+    if sum_mxu:
+        va_s = maybe_va[0]
+
+        @pl.when(pl.program_id(1) == 0)
+        def _build():
+            _build_v_aug(v_ref, va_s, d)
     for j in range(hpb):
         qj = q_ref[0, :, j * d:(j + 1) * d].astype(jnp.float32)
         sq = jnp.maximum(jnp.max(jnp.abs(qj), axis=1, keepdims=True),
@@ -120,6 +180,10 @@ def _kernel_single_int8(q_ref, k_ref, v_ref, o_ref, *, kv_len, bkv, d, hpb,
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
+        if sum_mxu:
+            p = jnp.exp2(s - m).astype(v_ref.dtype)
+            _pv_sum_mxu(p, va_s, j, d, o_ref)
+            continue
         v = v_ref[0, :, j * d:(j + 1) * d]
         p = jnp.exp2(s - m).astype(v.dtype)
         l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
@@ -177,6 +241,27 @@ def _kernel_multi(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s,
             ).astype(o_ref.dtype)
 
 
+def _sum_mxu_extras(d: int, hpb: int, bkv: int, dtype, enabled: bool = True):
+    """(scratch_shapes, dimension_semantics) for the single-pass kernels.
+
+    The sum-free MXU route (`_build_v_aug`) applies at d=64 / hpb=2 —
+    every SDXL UNet attention site.  Its v-augmentation scratch carries
+    state across q-block grid steps, so the q dim must be "arbitrary"
+    (sequential); no loss on v5e's single tensorcore.
+
+    ``enabled`` gates by kernel family: measured on v5e (chained-wall
+    microbench, tools/bench_attention.py), the bf16 kernel gains ~8-11%
+    at N=4096 (9.5 -> 8.4-8.8 ms, B=16 H=10 — the VPU sum pass was on
+    the critical path), while the int8-score variants are neutral-to-
+    slower (their MXU already carries the quantized score dot, so the
+    extra 128-wide pv lanes cost more than the VPU sum they replace) —
+    the int8 call sites pass enabled=False."""
+    if enabled and d == 64 and hpb == 2:
+        return ([pltpu.VMEM((2, bkv, 2 * d), dtype)],
+                ("parallel", "arbitrary", "arbitrary"))
+    return ([], ("parallel", "parallel", "arbitrary"))
+
+
 def heads_per_block(num_heads: int, d: int) -> int:
     """How many heads one grid step covers.  The channel block must be a
     multiple of 128 lanes or span the full channel dim (Mosaic tiling rule)."""
@@ -197,7 +282,10 @@ def _pick_blocks(nq: int, nkv_pad: int, d: int, hpb: int):
         blocks = (bq * ld + 2 * bkv * ld + bq * ld) * 2 * 2  # dbl-buffered bf16
         s = bq * bkv * 4
         acc = bq * ld * 4 + bq * 8 * hpb * 8
-        return blocks + s + acc
+        # sum-free MXU route (d=64/hpb=2 single-pass): v-augmentation
+        # scratch [2, bkv, 128] in the block dtype (see _sum_mxu_extras)
+        aug = 2 * bkv * 2 * d * 2 if (d == 64 and hpb == 2) else 0
+        return blocks + s + acc + aug
 
     if nkv_pad <= 4096:  # single pass: whole kv in one block
         bq = min(nq, 1024)
@@ -272,24 +360,29 @@ def flash_attention_hd(
         pl.BlockSpec((1, bkv, ld), lambda g, iq, ik, n=nh: (g // n, ik, g % n)),
     ]
     out_spec = pl.BlockSpec((1, bq, ld), lambda g, iq, ik, n=nh: (g // n, iq, g % n))
+    scratch, semantics = _sum_mxu_extras(d, hpb, bkv, q.dtype)
     common = dict(
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, nq_pad, hd), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
     if single:
         kern = functools.partial(_kernel_single, kv_len=nkv, bkv=bkv, d=d, hpb=hpb)
-        out = pl.pallas_call(kern, **common)(q, k, v)
+        out = pl.pallas_call(
+            kern, **common, scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=semantics,
+                vmem_limit_bytes=_VMEM_LIMIT))(q, k, v)
     else:
         kern = functools.partial(_kernel_multi, kv_len=nkv, kv_total=nkv_pad,
                                  bkv=bkv, d=d, hpb=hpb)
         out = pl.pallas_call(
             kern, **common,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=_VMEM_LIMIT),
             scratch_shapes=[
                 pltpu.VMEM((bq, 8 * hpb), jnp.float32),   # running max
                 pltpu.VMEM((bq, 8 * hpb), jnp.float32),   # running sum
@@ -353,6 +446,7 @@ def flash_attention_hd_int8(
         pl.BlockSpec((1, bkv, ld), lambda g, iq, ik, n=nh: (g // n, 0, g % n)),
         pl.BlockSpec((1, bkv, ld), lambda g, iq, ik, n=nh: (g // n, 0, g % n)),
     ]
+    scratch, semantics = _sum_mxu_extras(d, hpb, bkv, v.dtype, enabled=False)
     out = pl.pallas_call(
         functools.partial(_kernel_single_int8, kv_len=nkv, bkv=bkv, d=d,
                           hpb=hpb, q_scale=d ** -0.5 * LOG2E),
@@ -361,8 +455,9 @@ def flash_attention_hd_int8(
         out_specs=pl.BlockSpec((1, bq, ld),
                                lambda g, iq, ik, n=nh: (g // n, iq, g % n)),
         out_shape=jax.ShapeDtypeStruct((b, nq_pad, hd), jnp.bfloat16),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=semantics,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(q, k, v)
@@ -416,6 +511,7 @@ def flash_attention_qkv_packed_int8(
         pl.BlockSpec((1, bkv, ld),
                      lambda g, iq, ik, n_=nh: (g // n_, 0, 2 * n_ + g % n_)),
     ]
+    scratch, semantics = _sum_mxu_extras(d, hpb, bkv, qkv.dtype, enabled=False)
     out = pl.pallas_call(
         functools.partial(_kernel_single_int8, kv_len=n, bkv=bkv, d=d,
                           hpb=hpb, q_scale=d ** -0.5 * LOG2E),
@@ -424,8 +520,9 @@ def flash_attention_qkv_packed_int8(
         out_specs=pl.BlockSpec((1, bq, ld),
                                lambda g, iq, ik, n_=nh: (g // n_, iq, g % n_)),
         out_shape=jax.ShapeDtypeStruct((b, nq_pad, hd), jnp.bfloat16),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=semantics,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(qkv, qkv, qkv)
@@ -493,20 +590,25 @@ def flash_attention_qkv_packed(
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, nq_pad, hd), qkv.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
     if single:
         kern = functools.partial(_kernel_single, kv_len=n, bkv=bkv, d=d,
                                  hpb=hpb, q_scale=scale)
-        out = pl.pallas_call(kern, **common)(qkv, qkv, qkv)
+        scratch, semantics = _sum_mxu_extras(d, hpb, bkv, qkv.dtype)
+        out = pl.pallas_call(
+            kern, **common, scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=semantics,
+                vmem_limit_bytes=_VMEM_LIMIT))(qkv, qkv, qkv)
     else:
         kern = functools.partial(_kernel_multi, kv_len=n, kv_total=nkv_pad,
                                  bkv=bkv, d=d, hpb=hpb, q_scale=scale)
         out = pl.pallas_call(
             kern, **common,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=_VMEM_LIMIT),
             scratch_shapes=[
                 pltpu.VMEM((bq, 8 * hpb), jnp.float32),
                 pltpu.VMEM((bq, 8 * hpb), jnp.float32),

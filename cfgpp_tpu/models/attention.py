@@ -155,26 +155,38 @@ class Attention(nn.Module):
                  mask: Optional[jnp.ndarray] = None,
                  kv_len: Optional[int] = None,
                  ln: Optional[tuple] = None,
-                 residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 residual: Optional[jnp.ndarray] = None,
+                 cached_kv: Optional[tuple] = None) -> jnp.ndarray:
+        """``cached_kv``: precomputed (k, v) for cross-attention.  The kv
+        projections depend only on the text context, which is CONSTANT
+        across the sampling scan — the engine hoists them out of the
+        per-step loop (engine/pipeline.py:precompute_cross_kv) so ~140
+        context matmuls/step disappear from the scan body.  The to_k/to_v
+        params still exist in the tree (declared at init, when cached_kv
+        is None); Flax apply simply leaves them unread."""
         ctx = x if context is None else context
         inner = self.num_heads * self.head_dim
         if self.quant:
             return self._quant_forward(x, ctx, context is None, mask, kv_len,
-                                       ln, residual)
+                                       ln, residual, cached_kv)
         if ln is not None or residual is not None:
             raise ValueError("ln=/residual= fusion is quant-path only")
         dense = functools.partial(nn.Dense, dtype=self.dtype,
                                   param_dtype=self.param_dtype)
         q = dense(inner, use_bias=False, name="to_q")(x)
-        k = dense(inner, use_bias=False, name="to_k")(ctx)
-        v = dense(inner, use_bias=False, name="to_v")(ctx)
+        if cached_kv is not None:
+            k, v = cached_kv
+        else:
+            k = dense(inner, use_bias=False, name="to_k")(ctx)
+            v = dense(inner, use_bias=False, name="to_v")(ctx)
 
         # token-major all the way: the flash kernel blocks heads on the
         # channel dim, so no [B,N,H,D] split / transpose is materialized
         out = attention_hd(q, k, v, self.num_heads, mask=mask, kv_len=kv_len)
         return dense(self.out_dim, use_bias=True, name="to_out")(out)
 
-    def _quant_forward(self, x, ctx, is_self, mask, kv_len, ln, residual):
+    def _quant_forward(self, x, ctx, is_self, mask, kv_len, ln, residual,
+                      cached_kv=None):
         import jax
 
         from cfgpp_tpu.models.quant import (QuantParams, layernorm_ref,
@@ -200,21 +212,27 @@ class Attention(nn.Module):
                                        int8_score=self.quant in (True, "all"))
         else:
             wq, sq, _ = QuantParams(dim, inner, use_bias=False, name="to_q")()
-            wk, sk, _ = QuantParams(ctx.shape[-1], inner, use_bias=False,
-                                    name="to_k")()
-            wv, sv, _ = QuantParams(ctx.shape[-1], inner, use_bias=False,
-                                    name="to_v")()
             if on_tpu:
                 from cfgpp_tpu.kernels.int8_matmul import int8_matmul
                 q = int8_matmul(x, wq, sq, ln_scale=ln_s, ln_bias=ln_b
                                 ).astype(self.dtype)
-                k = int8_matmul(ctx, wk, sk).astype(self.dtype)
-                v = int8_matmul(ctx, wv, sv).astype(self.dtype)
             else:
                 h = x if ln is None else layernorm_ref(x, ln_s, ln_b)
                 q = quant_dense_apply(h, wq, sq, None, self.dtype)
-                k = quant_dense_apply(ctx, wk, sk, None, self.dtype)
-                v = quant_dense_apply(ctx, wv, sv, None, self.dtype)
+            if cached_kv is not None:
+                k, v = cached_kv
+            else:
+                wk, sk, _ = QuantParams(ctx.shape[-1], inner, use_bias=False,
+                                        name="to_k")()
+                wv, sv, _ = QuantParams(ctx.shape[-1], inner, use_bias=False,
+                                        name="to_v")()
+                if on_tpu:
+                    from cfgpp_tpu.kernels.int8_matmul import int8_matmul
+                    k = int8_matmul(ctx, wk, sk).astype(self.dtype)
+                    v = int8_matmul(ctx, wv, sv).astype(self.dtype)
+                else:
+                    k = quant_dense_apply(ctx, wk, sk, None, self.dtype)
+                    v = quant_dense_apply(ctx, wv, sv, None, self.dtype)
             # int8_score deliberately OFF for cross-attention: at kv=77 the
             # score dot is tiny while the per-(token,head) q quantize would
             # cost an extra full HBM round-trip over the long q sequence

@@ -158,7 +158,7 @@ class BasicTransformerBlock(nn.Module):
     quant: bool | str = False
 
     @nn.compact
-    def __call__(self, x, context, kv_len=None):
+    def __call__(self, x, context, kv_len=None, cached_kv=None):
         dim = self.num_heads * self.head_dim
         attn = functools.partial(Attention, num_heads=self.num_heads,
                                  head_dim=self.head_dim, out_dim=dim,
@@ -176,13 +176,14 @@ class BasicTransformerBlock(nn.Module):
                                     param_dtype=self.param_dtype)
             x = attn(name="attn1")(x, ln=lnp(name="norm1")(), residual=x)
             x = attn(name="attn2")(x, context=context, kv_len=kv_len,
-                                   ln=lnp(name="norm2")(), residual=x)
+                                   ln=lnp(name="norm2")(), residual=x,
+                                   cached_kv=cached_kv)
             return ff(x, ln=lnp(name="norm3")(), residual=x)
         ln = functools.partial(nn.LayerNorm, epsilon=1e-5, dtype=self.dtype,
                                param_dtype=self.param_dtype)
         x = x + attn(name="attn1")(ln(name="norm1")(x))
         x = x + attn(name="attn2")(ln(name="norm2")(x), context=context,
-                                   kv_len=kv_len)
+                                   kv_len=kv_len, cached_kv=cached_kv)
         x = x + ff(ln(name="norm3")(x))
         return x
 
@@ -198,7 +199,7 @@ class Transformer2DModel(nn.Module):
     quant: bool | str = False
 
     @nn.compact
-    def __call__(self, x, context, kv_len=None):
+    def __call__(self, x, context, kv_len=None, cross_kv=None):
         b, h, w, c = x.shape
         inner = self.num_heads * self.head_dim
         # (the quant+linear path below declares its own fused params; this
@@ -250,8 +251,9 @@ class Transformer2DModel(nn.Module):
         for i in range(self.num_layers):
             x = BasicTransformerBlock(self.num_heads, self.head_dim, dtype=self.dtype,
                                       param_dtype=self.param_dtype, quant=self.quant,
-                                      name=f"transformer_blocks_{i}")(x, context,
-                                                                      kv_len=kv_len)
+                                      name=f"transformer_blocks_{i}")(
+                x, context, kv_len=kv_len,
+                cached_kv=None if cross_kv is None else cross_kv[i])
         if self.use_linear_projection:
             if self.quant:
                 # outer residual fused into the proj_out kernel epilogue
@@ -313,6 +315,69 @@ class Upsample2D(nn.Module):
                        param_dtype=self.param_dtype, name="conv")(x)
 
 
+def precompute_cross_kv(unet_params, config: UNetConfig, context: jnp.ndarray,
+                        quant: bool | str = False,
+                        dtype: jnp.dtype = jnp.bfloat16) -> dict:
+    """Compute every cross-attention site's (k, v) from the text context.
+
+    The kv projections read ONLY the context, which is constant across the
+    sampling scan — the reference recomputes them inside every one of the
+    2*NFE UNet calls (`latent_diffusion.py:152-155` via diffusers'
+    attention); hoisting them out of the `lax.scan` body removes ~140
+    context matmuls per step.  Site naming and numerics mirror
+    `UNet2DConditionModel.__call__` exactly (same padded context, same
+    dot/kernel per path), so a cached forward is bit-identical to an
+    uncached one — asserted by `tests/test_unet.py::test_cross_kv_cache_
+    matches_uncached`.
+
+    Returns {site_name: [(k, v) per transformer layer]} for feeding the
+    model's ``cross_kv`` argument.
+    """
+    p = unet_params["params"] if "params" in unet_params else unet_params
+    ctx = context.astype(dtype)
+    kv_len = ctx.shape[1]
+    kv_pad = -(-kv_len // 128) * 128
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and kv_pad != kv_len:
+        ctx = jnp.pad(ctx, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+
+    def one(proj):
+        if quant:
+            w, s = proj["kernel"], proj["scale"]
+            if on_tpu:
+                from cfgpp_tpu.kernels.int8_matmul import int8_matmul
+                return int8_matmul(ctx, w, s).astype(dtype)
+            from cfgpp_tpu.models.quant import quant_dense_apply
+            return quant_dense_apply(ctx, w, s, None, dtype)
+        # the exact path's nn.Dense(dtype, use_bias=False) contraction
+        return jax.lax.dot_general(ctx, proj["kernel"].astype(dtype),
+                                   (((2,), (0,)), ((), ())))
+
+    def site_kv(site_params, n_layers):
+        out = []
+        for i in range(n_layers):
+            a2 = site_params[f"transformer_blocks_{i}"]["attn2"]
+            out.append((one(a2["to_k"]), one(a2["to_v"])))
+        return out
+
+    cache = {}
+    for i, bt in enumerate(config.down_block_types):
+        if bt == "CrossAttnDownBlock2D":
+            for j in range(config.layers_per_block):
+                site = f"down_blocks_{i}_attentions_{j}"
+                cache[site] = site_kv(
+                    p[site], config.transformer_layers_per_block[i])
+    cache["mid_block_attentions_0"] = site_kv(
+        p["mid_block_attentions_0"], config.transformer_layers_per_block[-1])
+    rev_tlayers = list(reversed(config.transformer_layers_per_block))
+    for i, bt in enumerate(config.up_block_types):
+        if bt == "CrossAttnUpBlock2D":
+            for j in range(config.layers_per_block + 1):
+                site = f"up_blocks_{i}_attentions_{j}"
+                cache[site] = site_kv(p[site], rev_tlayers[i])
+    return cache
+
+
 class UNet2DConditionModel(nn.Module):
     """The eps-prediction network.  sample: [B,H,W,4] NHWC, t: [B] or scalar,
     context: [B,77,cross_dim]; SDXL adds added_cond=(text_embeds, time_ids)."""
@@ -326,7 +391,14 @@ class UNet2DConditionModel(nn.Module):
     def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
                  encoder_hidden_states: jnp.ndarray,
                  added_text_embeds: Optional[jnp.ndarray] = None,
-                 added_time_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 added_time_ids: Optional[jnp.ndarray] = None,
+                 cross_kv: Optional[dict] = None) -> jnp.ndarray:
+        """``cross_kv``: optional {site_name: [(k, v) per layer]} of
+        precomputed cross-attention kv projections (they depend only on
+        ``encoder_hidden_states``, constant across the sampling scan —
+        see engine/pipeline.py:precompute_cross_kv, which mirrors this
+        module's site naming).  When provided, every cross-attn site
+        skips its to_k/to_v context matmuls."""
         cfg = self.config
         b = sample.shape[0]
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
@@ -361,7 +433,10 @@ class UNet2DConditionModel(nn.Module):
         # projections — ~140 pad ops/step on the SDXL trace.
         kv_len = context.shape[1]
         kv_pad = -(-kv_len // 128) * 128
-        if jax.default_backend() == "tpu" and kv_pad != kv_len:
+        if (jax.default_backend() == "tpu" and kv_pad != kv_len
+                and cross_kv is None):
+            # (with cross_kv the context is never consumed — kv was
+            # precomputed from the identically-padded context upstream)
             context = jnp.pad(context, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, name="conv_in", **kw)(
             sample.astype(self.dtype))
@@ -378,11 +453,14 @@ class UNet2DConditionModel(nn.Module):
                                   quant=self.quant,
                                   name=f"down_blocks_{i}_resnets_{j}", **kw)(x, emb)
                 if has_attn:
+                    site = f"down_blocks_{i}_attentions_{j}"
                     x = Transformer2DModel(
                         heads, out_ch // heads, cfg.transformer_layers_per_block[i],
                         cfg.use_linear_projection, cfg.norm_num_groups,
                         quant=self.quant,
-                        name=f"down_blocks_{i}_attentions_{j}", **kw)(x, context, kv_len=kv_len)
+                        name=site, **kw)(x, context, kv_len=kv_len,
+                                         cross_kv=None if cross_kv is None
+                                         else cross_kv[site])
                 res_stack.append(x)
             if i < n_blocks - 1:
                 x = Downsample2D(out_ch, quant=self.quant,
@@ -398,7 +476,10 @@ class UNet2DConditionModel(nn.Module):
                                cfg.transformer_layers_per_block[-1],
                                cfg.use_linear_projection, cfg.norm_num_groups,
                                quant=self.quant,
-                               name="mid_block_attentions_0", **kw)(x, context, kv_len=kv_len)
+                               name="mid_block_attentions_0", **kw)(
+            x, context, kv_len=kv_len,
+            cross_kv=None if cross_kv is None
+            else cross_kv["mid_block_attentions_0"])
         x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
                           quant=self.quant, name="mid_block_resnets_1", **kw)(x, emb)
 
@@ -416,11 +497,14 @@ class UNet2DConditionModel(nn.Module):
                                   quant=self.quant,
                                   name=f"up_blocks_{i}_resnets_{j}", **kw)(x, emb)
                 if has_attn:
+                    site = f"up_blocks_{i}_attentions_{j}"
                     x = Transformer2DModel(
                         rev_heads[i], out_ch // rev_heads[i], rev_tlayers[i],
                         cfg.use_linear_projection, cfg.norm_num_groups,
                         quant=self.quant,
-                        name=f"up_blocks_{i}_attentions_{j}", **kw)(x, context, kv_len=kv_len)
+                        name=site, **kw)(x, context, kv_len=kv_len,
+                                         cross_kv=None if cross_kv is None
+                                         else cross_kv[site])
             if i < n_blocks - 1:
                 x = Upsample2D(out_ch, quant=self.quant,
                                name=f"up_blocks_{i}_upsamplers_0", **kw)(x)

@@ -36,6 +36,18 @@ def test_sd_t2i_ddim_cfgpp(sd_bundle):
     assert not np.array_equal(img, img3)
 
 
+def test_sample_kv_cache_identical(sd_bundle, monkeypatch):
+    """The hoisted cross-attn kv cache (engine default) must not change
+    sampling output at all vs the per-step recompute path."""
+    eng = DiffusionEngine(sd_bundle, solver="ddim_cfg++", nfe=2)
+    cached = eng.sample(["", "a cat"], cfg_guidance=0.6, seed=1,
+                        resolution=16)
+    monkeypatch.setenv("CFGPP_NO_KV_CACHE", "1")
+    plain = DiffusionEngine(sd_bundle, solver="ddim_cfg++", nfe=2).sample(
+        ["", "a cat"], cfg_guidance=0.6, seed=1, resolution=16)
+    np.testing.assert_array_equal(cached, plain)
+
+
 @pytest.mark.parametrize("solver", ["ddim", "euler", "euler_a", "dpm++_2s_a",
                                     "dpm++_2m", "euler_cfg++", "dpm++_2m_cfg++"])
 def test_sd_all_solver_kinds(sd_bundle, solver):

@@ -97,6 +97,41 @@ def test_tiny_unet_forward(tiny_sd):
     assert not np.allclose(np.asarray(out), np.asarray(out3))
 
 
+def test_cross_kv_cache_matches_uncached(tiny_sd):
+    """precompute_cross_kv + cross_kv= must be BIT-identical to the plain
+    forward (same padded context, same contraction per site) — the engine
+    hoists these matmuls out of the sampling scan on this guarantee."""
+    from cfgpp_tpu.models.unet import precompute_cross_kv
+    m = UNet2DConditionModel(tiny_sd.unet, dtype=jnp.float32,
+                             param_dtype=jnp.float32)
+    x = jnp.linspace(-1, 1, 2 * 8 * 8 * 4).reshape(2, 8, 8, 4)
+    key = jax.random.PRNGKey(3)
+    ctx = jax.random.normal(key, (2, 77, tiny_sd.unet.cross_attention_dim))
+    params = m.init(jax.random.PRNGKey(0), x, jnp.array([10, 10]), ctx)
+    base = m.apply(params, x, jnp.array([10, 10]), ctx)
+    ckv = precompute_cross_kv(params, tiny_sd.unet, ctx, dtype=jnp.float32)
+    cached = m.apply(params, x, jnp.array([10, 10]), ctx, cross_kv=ckv)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(cached))
+
+
+def test_cross_kv_cache_matches_uncached_sdxl():
+    from cfgpp_tpu.models.unet import precompute_cross_kv
+    cfg = tiny_sdxl_config()
+    m = UNet2DConditionModel(cfg.unet, dtype=jnp.float32,
+                             param_dtype=jnp.float32)
+    x = jnp.ones((2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(5),
+                            (2, 77, cfg.unet.cross_attention_dim))
+    te = jnp.ones((2, 48))
+    tid = jnp.asarray([[64, 64, 0, 0, 64, 64]] * 2, jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x, jnp.array([10, 10]), ctx, te, tid)
+    base = m.apply(params, x, jnp.array([10, 10]), ctx, te, tid)
+    ckv = precompute_cross_kv(params, cfg.unet, ctx, dtype=jnp.float32)
+    cached = m.apply(params, x, jnp.array([10, 10]), ctx, te, tid,
+                     cross_kv=ckv)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(cached))
+
+
 def test_tiny_sdxl_unet_micro_conditioning():
     cfg = tiny_sdxl_config()
     m = UNet2DConditionModel(cfg.unet, dtype=jnp.float32, param_dtype=jnp.float32)

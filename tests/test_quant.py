@@ -142,6 +142,27 @@ def test_quantized_tiny_unet_forward_close():
     assert rel < 0.15, rel
 
 
+def test_quantized_cross_kv_cache_matches_uncached():
+    """The hoisted cross-attn kv cache must be bit-identical on the quant
+    path too (same quant_dense_apply/int8_matmul over the same context)."""
+    from cfgpp_tpu.engine import ModelBundle
+    from cfgpp_tpu.models.unet import precompute_cross_kv
+    qb = ModelBundle.random_init("tiny_sdxl", dtype=jnp.float32,
+                                 param_dtype=jnp.float32).quantized()
+    key = jax.random.PRNGKey(7)
+    z = jax.random.normal(key, (2, 8, 8, 4), jnp.float32)
+    ctx = jax.random.normal(key, (2, 77, qb.config.unet.cross_attention_dim))
+    pool = jnp.ones((2, qb.config.text_encoder_2.projection_dim))
+    tids = jnp.ones((2, 6), jnp.float32)
+    t = jnp.asarray([500, 500])
+    base = qb.unet.apply(qb.unet_params, z, t, ctx, pool, tids)
+    ckv = precompute_cross_kv(qb.unet_params, qb.config.unet, ctx,
+                              quant=qb.unet.quant, dtype=jnp.float32)
+    cached = qb.unet.apply(qb.unet_params, z, t, ctx, pool, tids,
+                           cross_kv=ckv)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(cached))
+
+
 def test_quantized_tiny_engine_sample_runs():
     from cfgpp_tpu.engine import DiffusionEngine, ModelBundle
     bundle = ModelBundle.random_init("tiny_sdxl", dtype=jnp.float32,

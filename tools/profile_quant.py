@@ -86,6 +86,11 @@ def aggregate(events, iters):
             tid_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     device_pids = {p for p, n in pid_names.items()
                    if "TPU" in n or "device" in n.lower()}
+    # Prefer the per-op lane: the "XLA Modules" lane carries ONE event
+    # spanning the whole jitted module, which double-counts the total
+    # (and showed up as a bogus 310 ms "jit__lambda" top op).
+    op_tids = {k for k, n in tid_names.items()
+               if k[0] in device_pids and "xla ops" in n.lower()}
     per_op = collections.Counter()
     per_bucket = collections.Counter()
     total = 0.0
@@ -93,8 +98,11 @@ def aggregate(events, iters):
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
         tname = tid_names.get((e["pid"], e.get("tid")), "")
+        if op_tids:
+            if (e["pid"], e.get("tid")) not in op_tids:
+                continue
         # keep compute lanes; skip the step/annotation lanes
-        if "step" in tname.lower():
+        elif "step" in tname.lower() or "module" in tname.lower():
             continue
         dur = e.get("dur", 0) / 1e3 / iters  # us -> ms, per iteration
         name = e.get("name", "?")
