@@ -255,7 +255,24 @@ def _sum_mxu_extras(d: int, hpb: int, bkv: int, dtype, enabled: bool = True):
     the critical path), while the int8-score variants are neutral-to-
     slower (their MXU already carries the quantized score dot, so the
     extra 128-wide pv lanes cost more than the VPU sum they replace) —
-    the int8 call sites pass enabled=False."""
+    the int8 call sites pass enabled=False.  CFGPP_NO_SUM_MXU=1 disables
+    everywhere (read at trace time; same A/B contract as
+    CFGPP_NO_KV_CACHE).
+
+    The bkv >= 2048 gate is measured, not guessed: the VPU sum pass this
+    route removes is O(bq*bkv) while the augmented dot widens a 64-wide pv
+    MXU dot to 128 lanes, so the trade only pays when the kv block is
+    long.  Interleaved 4-way attribution on the sdxl_int8 op-point
+    (tools/ab_levers.py, 2026-08-19) measured the ungated version -1.8%
+    end-to-end — all its bf16-kernel call sites there are bkv=128
+    cross-attention, where doubling the tiny pv dot costs more than the
+    trivial sum it saves.  N=4096 self-attention (bkv=4096) keeps the
+    measured +8-9% kernel win."""
+    import os
+    if os.environ.get("CFGPP_NO_SUM_MXU") == "1":
+        enabled = False
+    if bkv < 2048:
+        enabled = False
     if enabled and d == 64 and hpb == 2:
         return ([pltpu.VMEM((2, bkv, 2 * d), dtype)],
                 ("parallel", "arbitrary", "arbitrary"))
