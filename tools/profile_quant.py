@@ -128,6 +128,14 @@ def main():
                     help="also dump lane names + top raw ops for debugging")
     ap.add_argument("--no_trace", action="store_true",
                     help="wall-clock only (fast batch sweeps, no profiler)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="trace a FULL engine.sample_batch call (text -> "
+                         "scan -> VAE -> uint8) instead of the bare UNet "
+                         "forward — catches the pipeline-vs-UNet gap "
+                         "(~8 ms/step/img unaccounted in the segments)")
+    ap.add_argument("--solver", default="dpm++_2m_cfgpp")
+    ap.add_argument("--nfe", type=int, default=25)
+    ap.add_argument("--guidance", type=float, default=5.0)
     args = ap.parse_args()
 
     import jax
@@ -143,7 +151,37 @@ def main():
                                      param_dtype=jnp.bfloat16)
     if not args.no_quant:
         bundle = bundle.quantized(mode=args.quant_mode)
-    engine = DiffusionEngine(bundle, solver="dpm++_2m_cfgpp", nfe=25)
+    engine = DiffusionEngine(bundle, solver=args.solver, nfe=args.nfe)
+
+    if args.pipeline:
+        prompts = [f"profile prompt {i}" for i in range(args.batch)]
+
+        def run_pipe():
+            return engine.sample_batch("", prompts, cfg_guidance=args.guidance,
+                                       seed=1, resolution=args.res,
+                                       to_uint8=True)
+
+        run_pipe()   # compile + warm
+        t0 = time.perf_counter()
+        run_pipe()   # sample_batch materializes to host already
+        wall_ms = (time.perf_counter() - t0) * 1e3
+        with jax.profiler.trace(args.logdir):
+            run_pipe()
+        events = load_trace_events(args.logdir)
+        per_op, per_bucket, total, pid_names, tid_names = aggregate(events, 1)
+        label = ("bf16" if args.no_quant else f"int8[{args.quant_mode}]")
+        print(f"\n=== {args.model} FULL sample_batch b{args.batch} "
+              f"{args.res}^2 {args.nfe}-NFE {args.solver} {label}: wall "
+              f"{wall_ms:.1f} ms, device-trace total {total:.1f} ms ===")
+        print("\n-- buckets (ms) --")
+        for b, ms in per_bucket.most_common():
+            print(f"{ms:9.2f}  {100*ms/max(total,1e-9):5.1f}%  {b}")
+        print(f"\n-- top {args.top} ops --")
+        for name, ms in per_op.most_common(args.top):
+            print(f"{ms:9.2f}  {name[:110]}")
+        print(f"\nwall - device gap: {wall_ms - total:.1f} ms "
+              f"(host dispatch / tunnel / python)")
+        return
 
     rows = 2 * args.batch
     lat = engine.latent_shape(args.batch, args.res)
