@@ -98,16 +98,61 @@ def _pv_sum_mxu(p, va_s, j, d, o_ref):
         o_ref[0, :, d:2 * d] = (u[:, d:2 * d] / u[:, 0:1]).astype(o_ref.dtype)
 
 
+def _maxfree_enabled() -> bool:
+    import os
+    return os.environ.get("CFGPP_NO_MAXFREE") != "1"
+
+
+def _softmax_pv(s, j, d, v_ref, o_ref, sum_mxu, va_s, maxfree):
+    """Single-pass softmax tail: p = exp2(s [- max]), then o = (p@v)/sum(p).
+
+    ``maxfree``: for a ONE-block softmax the max subtraction is a pure fp
+    rescaling — exp2(s-m)/Σexp2(s-m) == exp2(s)/Σexp2(s) exactly in real
+    arithmetic — kept in streaming kernels only because the running carry
+    needs a bounded range.  SD/SDXL logits sit at |s| <~ 30-50 after the
+    folded 1/sqrt(d)*log2e scale, far inside the f32/bf16 exp2 range
+    (overflow at 2^127), so the [bq, bkv] max-reduce + subtract VPU pass
+    is dropped from this VPU-bound kernel.  Masked lanes (NEG_INF)
+    underflow to exactly 0; ``l`` floors at 1e-37 so the all-underflow
+    corner (max logit < -127 — impossible for LN'd activations) degrades
+    to a zero output instead of NaN.  CFGPP_NO_MAXFREE=1 restores the
+    max-subtracted path (read at trace time, same A/B contract as
+    CFGPP_NO_KV_CACHE / CFGPP_NO_SUM_MXU).
+    """
+    if maxfree:
+        p = jnp.exp2(s)
+    else:
+        p = jnp.exp2(s - jnp.max(s, axis=1, keepdims=True))
+    p = p.astype(v_ref.dtype)
+    if sum_mxu:
+        u = jax.lax.dot_general(p, va_s[j], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if j == 0:
+            l = jnp.maximum(u[:, d:d + 1], 1e-37)
+            o_ref[0, :, 0:d] = (u[:, 0:d] / l).astype(o_ref.dtype)
+        else:
+            l = jnp.maximum(u[:, 0:1], 1e-37)
+            o_ref[0, :, d:2 * d] = (u[:, d:2 * d] / l).astype(o_ref.dtype)
+        return
+    v = v_ref[0, :, j * d:(j + 1) * d]
+    l = jnp.maximum(
+        jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True), 1e-37)
+    pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o_ref[0, :, j * d:(j + 1) * d] = (pv / l).astype(o_ref.dtype)
+
+
 def _kernel_single(q_ref, k_ref, v_ref, o_ref, *maybe_va, kv_len, bkv, d, hpb,
-                   q_scale=None):
+                   q_scale=None, maxfree=True):
     """One kv block covers the whole sequence: plain (not running) softmax.
 
-    With the optional ``va_s`` scratch (d=64/hpb=2 — every SDXL UNet
-    attention site) the kernel runs sum-free: see `_build_v_aug`.  The
-    kernel is VPU-bound, so dropping one of its three [bq, bkv] VPU
-    passes (mask-free self-attention: max, exp2, sum) is the lever block
-    tuning could not reach (docstring header)."""
+    The kernel is VPU-bound, so its levers drop [bq, bkv] VPU passes
+    (mask-free self-attention runs max, exp2, sum): ``maxfree`` removes
+    the max pass (see `_softmax_pv`), the optional ``va_s`` scratch
+    (d=64/hpb=2, bkv >= 2048) moves the sum onto the p@v MXU dot
+    (`_build_v_aug`)."""
     sum_mxu = bool(maybe_va)
+    va_s = None
     if sum_mxu:
         va_s = maybe_va[0]
 
@@ -124,21 +169,11 @@ def _kernel_single(q_ref, k_ref, v_ref, o_ref, *maybe_va, kv_len, bkv, d, hpb,
         if kv_len < bkv:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
-        if sum_mxu:
-            p = jnp.exp2(s - m).astype(v_ref.dtype)
-            _pv_sum_mxu(p, va_s, j, d, o_ref)
-            continue
-        v = v_ref[0, :, j * d:(j + 1) * d]
-        p = jnp.exp2(s - m).astype(v.dtype)
-        l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        o_ref[0, :, j * d:(j + 1) * d] = (pv / l).astype(o_ref.dtype)
+        _softmax_pv(s, j, d, v_ref, o_ref, sum_mxu, va_s, maxfree)
 
 
 def _kernel_single_int8(q_ref, k_ref, v_ref, o_ref, *maybe_va, kv_len, bkv,
-                        d, hpb, q_scale):
+                        d, hpb, q_scale, maxfree=True):
     """Single-pass attention with the score dot on the int8 MXU (394 TOPS).
 
     q/k quantize IN-KERNEL on the VMEM-resident blocks (per-row scales
@@ -157,6 +192,7 @@ def _kernel_single_int8(q_ref, k_ref, v_ref, o_ref, *maybe_va, kv_len, bkv,
     when the ``va_s`` scratch is supplied (d=64/hpb=2).
     """
     sum_mxu = bool(maybe_va)
+    va_s = None
     if sum_mxu:
         va_s = maybe_va[0]
 
@@ -179,17 +215,7 @@ def _kernel_single_int8(q_ref, k_ref, v_ref, o_ref, *maybe_va, kv_len, bkv,
         if kv_len < bkv:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
-        if sum_mxu:
-            p = jnp.exp2(s - m).astype(v_ref.dtype)
-            _pv_sum_mxu(p, va_s, j, d, o_ref)
-            continue
-        v = v_ref[0, :, j * d:(j + 1) * d]
-        p = jnp.exp2(s - m).astype(v.dtype)
-        l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        o_ref[0, :, j * d:(j + 1) * d] = (pv / l).astype(o_ref.dtype)
+        _softmax_pv(s, j, d, v_ref, o_ref, sum_mxu, va_s, maxfree)
 
 
 def _kernel_multi(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s,
@@ -386,7 +412,8 @@ def flash_attention_hd(
         interpret=interpret,
     )
     if single:
-        kern = functools.partial(_kernel_single, kv_len=nkv, bkv=bkv, d=d, hpb=hpb)
+        kern = functools.partial(_kernel_single, kv_len=nkv, bkv=bkv, d=d,
+                                 hpb=hpb, maxfree=_maxfree_enabled())
         out = pl.pallas_call(
             kern, **common, scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
@@ -466,7 +493,8 @@ def flash_attention_hd_int8(
     scratch, semantics = _sum_mxu_extras(d, hpb, bkv, v.dtype, enabled=False)
     out = pl.pallas_call(
         functools.partial(_kernel_single_int8, kv_len=nkv, bkv=bkv, d=d,
-                          hpb=hpb, q_scale=d ** -0.5 * LOG2E),
+                          hpb=hpb, q_scale=d ** -0.5 * LOG2E,
+                          maxfree=_maxfree_enabled()),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, ld),
@@ -531,7 +559,8 @@ def flash_attention_qkv_packed_int8(
     scratch, semantics = _sum_mxu_extras(d, hpb, bkv, qkv.dtype, enabled=False)
     out = pl.pallas_call(
         functools.partial(_kernel_single_int8, kv_len=n, bkv=bkv, d=d,
-                          hpb=hpb, q_scale=d ** -0.5 * LOG2E),
+                          hpb=hpb, q_scale=d ** -0.5 * LOG2E,
+                          maxfree=_maxfree_enabled()),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, ld),
@@ -611,7 +640,8 @@ def flash_attention_qkv_packed(
     )
     if single:
         kern = functools.partial(_kernel_single, kv_len=n, bkv=bkv, d=d,
-                                 hpb=hpb, q_scale=scale)
+                                 hpb=hpb, q_scale=scale,
+                                 maxfree=_maxfree_enabled())
         scratch, semantics = _sum_mxu_extras(d, hpb, bkv, qkv.dtype)
         out = pl.pallas_call(
             kern, **common, scratch_shapes=scratch,

@@ -12,7 +12,11 @@ import argparse
 import time
 
 import jax
-import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp  # noqa: E402
 
 from cfgpp_tpu.kernels.flash_attention import (
     flash_attention_hd, flash_attention_qkv_packed_int8)
