@@ -106,6 +106,12 @@ def aggregate(events, iters):
             continue
         dur = e.get("dur", 0) / 1e3 / iters  # us -> ms, per iteration
         name = e.get("name", "?")
+        # control-flow wrapper events (the lax.scan/while loop of the
+        # --pipeline trace) span their whole body on the same op lane and
+        # would double-count every op inside them
+        base = name.split(".")[0]
+        if base in ("while", "conditional", "call"):
+            continue
         per_op[name] += dur
         per_bucket[bucket_of(name)] += dur
         total += dur
