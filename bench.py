@@ -52,6 +52,12 @@ OP_POINTS = {
     "sd15": ("sd15", "ddim_cfg++", 512, 50, 5, 4, 0.6, "SD-v1.5", False),
     "sdxl_lightning": ("sdxl_lightning", "ddim_cfg++_lightning", 1024, 4,
                        5, 4, 1.0, "SDXL-Lightning", False),
+    # the fused W8A8 path applied to the 4-NFE distilled config (same
+    # opt-in numerics tradeoff as sdxl_int8): the UNet step drops from
+    # ~103 to ~77 ms/img, and at 4 NFE the pipeline is UNet-bound enough
+    # for it to show end-to-end
+    "sdxl_lightning_int8": ("sdxl_lightning", "ddim_cfg++_lightning", 1024,
+                            4, 5, 4, 1.0, "SDXL-Lightning-int8-W8A8", True),
     # reference inversion op-point (examples/inversion.py:33-35, README:88):
     # encode -> NFE-step forward inversion scan -> NFE-step resample scan,
     # the double-loop no other op-point exercises

@@ -146,12 +146,12 @@ def main(argv=None):
                              "~1.5x the measured round-4 baseline on "
                              "random-init true-shape SDXL (worst-step "
                              "rel-MAE 0.098 mode=all / 0.062 dense, "
-                             "steady-state 6.5%/4.4% — the expected "
-                             "~1%-per-projection W8A8 error accumulated "
+                             "steady-state 6.5%%/4.4%% — the expected "
+                             "~1%%-per-projection W8A8 error accumulated "
                              "through the UNet's ~300 quantized ops, flat "
                              "across the trajectory; see PARITY.md and "
                              "evidence/quant_drift_*.json).  Scale-plumbing "
-                             "breakages manifest as >50% drift and trip "
+                             "breakages manifest as >50%% drift and trip "
                              "this gate; image-level quality needs trained "
                              "weights + the metrics CLI.")
     parser.add_argument("--model", type=str, default="sdxl")

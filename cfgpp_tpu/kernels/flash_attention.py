@@ -33,10 +33,15 @@ Design notes (all measured on TPU v5e):
   nothing: l1-self [8,4096,640] bq 256(auto)/512 both 83 TF/s, bq=1024
   81, bq=2048 69, bq=4096 fails to compile; l2-self [8,1024,1280]
   flat at 69-70 TF/s for bq 512-1024 (sweep 2026-08-17).  The kernel is
-  VPU-bound (max/exp2/sum/divide passes over [bq, bkv]) on top of an MXU
-  running at 50% duty at D=64 (64-deep contraction on the 128-wide
-  array), so ~83 of the ~98 TF/s practical ceiling is what block tuning
-  can reach; the remaining levers are algorithmic (int8 p@v), not tiling.
+  VPU-bound on top of an MXU running at 50% duty at D=64 (64-deep
+  contraction on the 128-wide array), so ~83 of the ~98 TF/s practical
+  ceiling is what block tuning can reach; the round-4 levers were
+  therefore algorithmic, removing whole [bq, bkv] VPU passes: the max
+  pass is dropped in the single-pass kernels (`_softmax_pv` — a
+  one-block softmax needs no range shift), and the sum pass rides the
+  p@v MXU dot at bkv >= 2048 (`_build_v_aug`).  What remains per block
+  is exp2 + the bf16 convert (and for the int8-score variant the
+  in-kernel q/k quantize) — irreducible for a softmax kernel.
 
 Reference hot-path: `latent_diffusion.py:152-155` (the batch-2 UNet call
 whose attention layers this kernel serves).

@@ -145,3 +145,19 @@ def test_text_to_mscoco_main_resume(tmp_path, prompt_file):
     # second run's stats count only the regenerated batch
     stats = json.loads((wd / "generation_stats.json").read_text())
     assert stats["num_images"] == 2
+
+
+@pytest.mark.parametrize("module", [
+    "text_to_img", "inversion", "text_to_mscoco", "parity_check",
+    "calculate_metrics", "convert_checkpoint",
+])
+def test_cli_help_does_not_crash(module):
+    """`--help` must render for every CLI: argparse treats `%` in help
+    strings as a format directive, so an unescaped percent (e.g. a
+    measured-drift figure quoted in --quant_budget's help) crashes the
+    parser before main() even runs (regression: parity_check r4)."""
+    import importlib
+    mod = importlib.import_module(f"cfgpp_tpu.cli.{module}")
+    with pytest.raises(SystemExit) as exc:
+        mod.main(["--help"])
+    assert exc.value.code == 0
