@@ -58,6 +58,13 @@ OP_POINTS = {
     # for it to show end-to-end
     "sdxl_lightning_int8": ("sdxl_lightning", "ddim_cfg++_lightning", 1024,
                             4, 5, 4, 1.0, "SDXL-Lightning-int8-W8A8", True),
+    # the fused W8A8 path on the SD-v1.5 flagship config (reference
+    # README.md:62): the quant machinery is family-agnostic (1x1-conv
+    # transformer projections route through the same matmul kernel —
+    # tests/test_quant.py SD-layout coverage); same opt-in numerics
+    # tradeoff as the other *_int8 rows
+    "sd15_int8": ("sd15", "ddim_cfg++", 512, 50, 5, 4, 0.6,
+                  "SD-v1.5-int8-W8A8", True),
     # reference inversion op-point (examples/inversion.py:33-35, README:88):
     # encode -> NFE-step forward inversion scan -> NFE-step resample scan,
     # the double-loop no other op-point exercises
