@@ -322,6 +322,26 @@ def heads_per_block(num_heads: int, d: int) -> int:
     return num_heads  # full channel row (block dim == array dim is allowed)
 
 
+def packed_views_legal(num_heads: int, d: int) -> bool:
+    """Mosaic lane rule for the packed-qkv channel-offset views.
+
+    A BlockSpec's last-dim block must be a multiple of 128 lanes OR equal
+    the full array dim.  The packed [B, N, 3*H*D] array's views are
+    ``hpb*d`` wide and can never equal the 3*H*D array dim, so they are
+    only legal when ``hpb*d % 128 == 0`` (true for SDXL's d=64 -> ld=128;
+    false for SD-1.5's d=40 -> ld=320, which must split the pack and use
+    the contiguous-array kernels, where block == array dim is allowed).
+    CPU interpret mode does not enforce this, so tests assert the
+    predicate directly (tests/test_flash_attention.py)."""
+    return (heads_per_block(num_heads, d) * d) % 128 == 0
+
+
+def _split_pack(qkv: jnp.ndarray):
+    hd = qkv.shape[-1] // 3
+    return (jax.lax.slice_in_dim(qkv, i * hd, (i + 1) * hd, axis=2)
+            for i in range(3))
+
+
 def _pick_blocks(nq: int, nkv_pad: int, d: int, hpb: int):
     """(block_q, block_kv, single_pass) under the VMEM budget."""
     ld = hpb * d
@@ -537,6 +557,10 @@ def flash_attention_qkv_packed_int8(
     d = hd // num_heads
     if hd3 % 3 or hd % num_heads:
         raise ValueError(f"packed channel dim {hd3} not 3*H*D for H={num_heads}")
+    if not packed_views_legal(num_heads, d):
+        q_s, k_s, v_s = _split_pack(qkv)
+        return flash_attention_hd_int8(q_s, k_s, v_s, num_heads,
+                                       block_q=block_q, interpret=interpret)
     hpb = heads_per_block(num_heads, d)
     ld = hpb * d
     nh = num_heads // hpb
@@ -608,6 +632,15 @@ def flash_attention_qkv_packed(
     d = hd // num_heads
     if hd3 % 3 or hd % num_heads:
         raise ValueError(f"packed channel dim {hd3} not 3*H*D for H={num_heads}")
+    if not packed_views_legal(num_heads, d):
+        # d=40 (SD-1.5 first level): ld=320 channel views violate the
+        # Mosaic lane rule on real TPU (CPU interpret does not check it).
+        # Split the pack (three [B,N,H*D] slice copies, ~10MB each at
+        # 512^2 — amortized against a 4096-token attention) and use the
+        # contiguous-array kernel, whose ld == array dim blocks are legal.
+        q_s, k_s, v_s = _split_pack(qkv)
+        return flash_attention_hd(q_s, k_s, v_s, num_heads, block_q=block_q,
+                                  block_kv=block_kv, interpret=interpret)
     hpb = heads_per_block(num_heads, d)
     ld = hpb * d
     nh = num_heads // hpb

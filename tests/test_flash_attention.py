@@ -143,6 +143,36 @@ def test_flash_qkv_packed_matches_xla(nq, bq, bkv, h, d):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+def test_packed_views_lane_rule():
+    """Mosaic requires a BlockSpec's last-dim block to be a 128-multiple or
+    the full array dim.  The packed-qkv channel views can never equal the
+    3*H*D array dim, so the packed kernels must only be entered when
+    hpb*d % 128 == 0 — found the hard way: the sd15_int8 op-point (d=40,
+    ld=320 views of a 960-wide pack) crashed TPU lowering while every CPU
+    interpret-mode test passed.  Asserts the predicate over every
+    self-attention site of both families, and that the d=40 packed entry
+    points (which now split the pack and route to the contiguous-array
+    kernels) still match the einsum reference."""
+    from cfgpp_tpu.kernels.flash_attention import (
+        flash_attention_qkv_packed_int8, packed_views_legal)
+
+    # SDXL: d=64 at 10 and 20 heads -> ld=128, legal
+    assert packed_views_legal(10, 64)
+    assert packed_views_legal(20, 64)
+    # SD-1.5: 8 heads of d=40/80/160; only d=80 (ld=640) is lane-aligned
+    assert not packed_views_legal(8, 40)
+    assert packed_views_legal(8, 80)
+    assert packed_views_legal(8, 160)
+
+    q, k, v = rand_qkv(13, 2, 256, 256, 8, 40)
+    b, n, h, d = q.shape
+    qkv = jnp.concatenate([t.reshape(b, n, h * d) for t in (q, k, v)], axis=-1)
+    ref = sdpa_xla(q, k, v).reshape(b, n, h * d)
+    got = np.asarray(flash_attention_qkv_packed_int8(qkv, h, interpret=True),
+                     np.float32)
+    assert np.mean(np.abs(got - np.asarray(ref, np.float32))) < 2e-2
+
+
 def test_attention_qkv_packed_fallback_matches():
     """Short-sequence einsum fallback of the packed entry point."""
     from cfgpp_tpu.models.attention import attention_qkv_packed
