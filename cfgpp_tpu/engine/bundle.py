@@ -96,8 +96,9 @@ class ModelBundle:
         # VAE params stay fp32 (decode quality / encode parity); compute
         # follows the bundle dtype — bf16 is overflow-safe (unlike the fp16
         # that motivated the reference's fp16-fix VAE, latent_sdxl.py:44)
-        # and flax GroupNorm keeps its statistics in fp32.  Measured: 92
-        # -> 83 ms for the 1024^2 SDXL decode.
+        # and flax GroupNorm keeps its statistics in fp32.  Measured (r5,
+        # evidence/vae_decode_r5.json): 99.1 -> 87.9 ms/img for the 1024^2
+        # SDXL decode, image-space MAE 0.0021 vs fp32 (half a PNG quantum).
         vae_dtype = jnp.float32 if dtype == jnp.float32 else jnp.bfloat16
         vae = AutoencoderKL(cfg.vae, dtype=vae_dtype, param_dtype=jnp.float32)
         vae_params = jax.jit(vae.init)(

@@ -176,6 +176,9 @@ class DiffusionEngine:
 
         # Decode per-image for larger batches: fp32 VAE intermediates at
         # 1024^2 are ~2GB/image — decoding a whole batch at once OOMs HBM.
+        # Per-image is also FASTER, not just safer: chunk-2/chunk-4 decode
+        # measured 2.2x worse per image (activation spill; r5 sweep at
+        # evidence/vae_decode_r5.json via tools/bench_vae_decode.py).
         if z.shape[0] > 2:
             return jax.lax.map(lambda zi: one(zi[None])[0], z)
         return one(z)

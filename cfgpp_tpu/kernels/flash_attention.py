@@ -338,8 +338,10 @@ def packed_views_legal(num_heads: int, d: int) -> bool:
 
 def _split_pack(qkv: jnp.ndarray):
     hd = qkv.shape[-1] // 3
-    return (jax.lax.slice_in_dim(qkv, i * hd, (i + 1) * hd, axis=2)
-            for i in range(3))
+    # a tuple, not a generator: a generator is one-shot, so a second
+    # iteration (or len()) by a future caller would silently yield nothing
+    return tuple(jax.lax.slice_in_dim(qkv, i * hd, (i + 1) * hd, axis=2)
+                 for i in range(3))
 
 
 def _pick_blocks(nq: int, nkv_pad: int, d: int, hpb: int):

@@ -103,6 +103,34 @@ def _erf_poly(x):
     return s * (1.0 - poly * jnp.exp(-a * a))
 
 
+def _gelu_erf(g):
+    """Exact erf-gelu (diffusers GEGLU semantics)."""
+    return g * 0.5 * (1.0 + _erf_poly(g * (2.0 ** -0.5)))
+
+
+def _gelu_sigmoid(g):
+    """gelu(x) ~= x * sigmoid(1.702 x): ~4 VPU ops vs ~13 for the erf
+    polynomial (max abs error ~0.02 near |x|~2 — a real numerics change,
+    NOT below bf16 resolution, so this is opt-in via CFGPP_GELU=sigmoid
+    and judged by the quant-drift gate like every other int8 tradeoff).
+    Round-4 ledger (INT8.md) named a cheaper gelu as the last FF-epilogue
+    lever, bounded at <100 us/call; this variant exists to measure that
+    bound for real."""
+    return g * (1.0 / (1.0 + jnp.exp(-1.702 * g)))
+
+
+_GELU_FNS = {"erf": _gelu_erf, "sigmoid": _gelu_sigmoid}
+
+
+def _gelu_flavor(override: str | None = None) -> str:
+    import os
+    flavor = override or os.environ.get("CFGPP_GELU", "erf")
+    if flavor not in _GELU_FNS:
+        raise ValueError(f"CFGPP_GELU must be one of {sorted(_GELU_FNS)}, "
+                         f"got {flavor!r}")
+    return flavor
+
+
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
@@ -273,7 +301,7 @@ def _ff_vmem_est(bm: int, k: int, n: int, o: int, bc: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("ln_eps", "block_m", "block_c",
-                                             "interpret"))
+                                             "gelu", "interpret"))
 def int8_ff_geglu(x: jnp.ndarray,
                   w1_q: jnp.ndarray, w1_scale: jnp.ndarray,
                   bias1: jnp.ndarray | None,
@@ -284,8 +312,12 @@ def int8_ff_geglu(x: jnp.ndarray,
                   ln_eps: float = 1e-5,
                   residual: jnp.ndarray | None = None,
                   block_m: int | None = None, block_c: int | None = None,
+                  gelu: str | None = None,
                   interpret: bool = False) -> jnp.ndarray:
     """Whole GEGLU feed-forward, fused: gelu-GEGLU(x @ W1 + b1) @ W2 + b2.
+
+    ``gelu``: "erf" (exact, default) or "sigmoid" (cheaper x*sigmoid(1.702x)
+    approximation, opt-in; default comes from the CFGPP_GELU env var).
 
     x [..., K]; w1_q int8 [K, 2N] (value half | gate half, diffusers
     net_0_proj layout); w2_q int8 [N, O] (net_2).  Returns bf16 [..., O].
@@ -372,7 +404,8 @@ def int8_ff_geglu(x: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_kernel_ff, n=n, bc=bc,
                           use_bias1=use_b1, use_bias2=use_b2,
-                          use_ln=use_ln, ln_eps=ln_eps, use_res=use_res),
+                          use_ln=use_ln, ln_eps=ln_eps, use_res=use_res,
+                          gelu=_gelu_flavor(gelu)),
         grid=(m_pad // bm,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bm, o), lambda i: (i, 0, 0)),
@@ -399,7 +432,7 @@ def _kernel_ff(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                g_ref, be_ref, r_ref, o_ref,
                xq_s, sx_s, h_s, rmax_s, *, n: int, bc: int,
                use_bias1: bool, use_bias2: bool, use_ln: bool,
-               ln_eps: float, use_res: bool):
+               ln_eps: float, use_res: bool, gelu: str = "erf"):
     """Whole transformer FF block in one kernel:
        y = gelu_geglu(x @ W1 + b1) @ W2 + b2, all int8 W8A8.
 
@@ -434,7 +467,7 @@ def _kernel_ff(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
         if use_bias1:
             v = v + b1_ref[0, j * bc:(j + 1) * bc]
             g = g + b1_ref[0, n + j * bc:n + (j + 1) * bc]
-        h = v * (g * 0.5 * (1.0 + _erf_poly(g * (2.0 ** -0.5))))
+        h = v * _GELU_FNS[gelu](g)
         rmax_s[:] = jnp.maximum(rmax_s[:],
                                 jnp.max(jnp.abs(h), axis=1, keepdims=True))
         # the per-row scale needs ALL chunks, so park the f32 hidden chunk

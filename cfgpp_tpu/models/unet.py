@@ -327,8 +327,8 @@ def precompute_cross_kv(unet_params, config: UNetConfig, context: jnp.ndarray,
     context matmuls per step.  Site naming and numerics mirror
     `UNet2DConditionModel.__call__` exactly (same padded context, same
     dot/kernel per path), so a cached forward is bit-identical to an
-    uncached one — asserted by `tests/test_unet.py::test_cross_kv_cache_
-    matches_uncached`.
+    uncached one — asserted by `tests/test_models.py::test_cross_kv_cache_
+    matches_uncached` (and its SDXL sibling).
 
     Returns {site_name: [(k, v) per transformer layer]} for feeding the
     model's ``cross_kv`` argument.

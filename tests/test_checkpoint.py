@@ -8,6 +8,8 @@ import pytest
 from cfgpp_tpu.engine import ModelBundle
 from cfgpp_tpu.weights.checkpoint import load_bundle, save_bundle
 
+pytestmark = pytest.mark.slow  # >60s-class integration module: run via the full suite (pytest tests/ -q); the default dev selection is -m "not slow" (see pyproject)
+
 
 def test_bundle_checkpoint_roundtrip(tmp_path):
     b1 = ModelBundle.random_init("tiny_sdxl", seed=1, dtype=jnp.float32,

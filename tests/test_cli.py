@@ -15,6 +15,8 @@ import pytest
 
 from cfgpp_tpu.cli import inversion, text_to_img, text_to_mscoco
 
+pytestmark = pytest.mark.slow  # >60s-class integration module: run via the full suite (pytest tests/ -q); the default dev selection is -m "not slow" (see pyproject)
+
 
 def _png_ok(path):
     from PIL import Image

@@ -17,6 +17,8 @@ import numpy as np
 import pytest
 
 from cfgpp_tpu.engine import ModelBundle
+
+pytestmark = pytest.mark.slow  # >60s-class integration module: run via the full suite (pytest tests/ -q); the default dev selection is -m "not slow" (see pyproject)
 from cfgpp_tpu.weights.convert import (convert_clip_text, convert_unet,
                                        convert_vae)
 

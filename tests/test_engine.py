@@ -7,6 +7,8 @@ import pytest
 
 from cfgpp_tpu.engine import ComposeCallback, DiffusionEngine, ModelBundle
 
+pytestmark = pytest.mark.slow  # >60s-class integration module: run via the full suite (pytest tests/ -q); the default dev selection is -m "not slow" (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def sd_bundle():

@@ -127,7 +127,7 @@ def test_attention_hd_flash_matches_einsum():
 @pytest.mark.parametrize("nq,bq,bkv,h,d", [
     (512, 512, 512, 4, 64),    # single-pass kernel, packed heads
     (1024, 256, 256, 4, 64),   # multi-block running softmax
-    (256, 256, 256, 8, 40),    # full-channel-row packing (SD-1.5 level-0)
+    (256, 256, 256, 8, 40),    # d=40: lane-rule split-pack fallback (SD-1.5 level-0)
     (256, 256, 256, 20, 64),   # SDXL level-2 head count
 ])
 def test_flash_qkv_packed_matches_xla(nq, bq, bkv, h, d):

@@ -104,6 +104,40 @@ def test_int8_ff_geglu_matches_two_stage(m, k, n, o, bc):
     assert e.max() / max(np.abs(ref).max(), 1e-6) < 0.02
 
 
+def test_int8_ff_geglu_sigmoid_flavor():
+    """gelu="sigmoid" (opt-in cheaper epilogue) must match the same
+    two-stage recipe with x*sigmoid(1.702x) as the activation, and the
+    flavor plumbing must reject unknown names."""
+    import pytest
+
+    from cfgpp_tpu.kernels.int8_matmul import int8_ff_geglu
+    from cfgpp_tpu.models.quant import quantize_activation_int8
+    rng = np.random.default_rng(11)
+    m, k, n, o = 64, 128, 256, 128
+    x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.float32)
+    w1q, w1s = quantize_kernel_int8(rng.normal(0, 0.05, (k, 2 * n)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(0, 0.1, (2 * n,)), jnp.float32)
+    w2q, w2s = quantize_kernel_int8(rng.normal(0, 0.05, (n, o)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(0, 0.1, (o,)), jnp.float32)
+
+    proj = np.asarray(xla_ref(x, w1q, w1s, b1), np.float32)
+    v, g = proj[:, :n], proj[:, n:]
+    h = v * (g / (1.0 + np.exp(-1.702 * g)))
+    hq, sh = quantize_activation_int8(jnp.asarray(h))
+    acc = jax.lax.dot_general(hq, w2q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    ref = np.asarray(acc.astype(jnp.float32) * sh * w2s + b2)
+
+    got = int8_ff_geglu(x, w1q, w1s, b1, w2q, w2s, b2, gelu="sigmoid",
+                        interpret=True)
+    e = np.abs(np.asarray(got, np.float32) - ref)
+    assert e.max() / max(np.abs(ref).max(), 1e-6) < 0.02
+
+    with pytest.raises(ValueError, match="CFGPP_GELU"):
+        int8_ff_geglu(x, w1q, w1s, b1, w2q, w2s, b2, gelu="tanh",
+                      interpret=True)
+
+
 def test_int8_matmul_fused_ln_and_residual():
     """ln_scale/ln_bias + residual fusion == layernorm_ref -> recipe -> add.
 

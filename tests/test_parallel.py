@@ -8,6 +8,8 @@ import pytest
 from cfgpp_tpu.engine import DiffusionEngine, ModelBundle
 from cfgpp_tpu.parallel import batch_sharding, make_mesh, shard_batch
 
+pytestmark = pytest.mark.slow  # >60s-class integration module: run via the full suite (pytest tests/ -q); the default dev selection is -m "not slow" (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def engine():

@@ -9,6 +9,8 @@ from cfgpp_tpu.engine import DiffusionEngine, ModelBundle
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # >60s-class integration module: run via the full suite (pytest tests/ -q); the default dev selection is -m "not slow" (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def engine():

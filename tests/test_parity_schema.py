@@ -28,6 +28,8 @@ from cfgpp_tpu.cli import parity_check
 from cfgpp_tpu.cli.parity_check import DUMP_SCHEMA
 from cfgpp_tpu.engine import DiffusionEngine, ModelBundle
 
+pytestmark = pytest.mark.slow  # >60s-class integration module: run via the full suite (pytest tests/ -q); the default dev selection is -m "not slow" (see pyproject)
+
 REPO = Path(__file__).resolve().parent.parent
 
 

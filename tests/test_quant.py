@@ -5,6 +5,7 @@ transform (which layers convert, which stay bf16), and an end-to-end
 quantized tiny-UNet forward whose output must stay close to the exact path.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +14,8 @@ from flax import linen as nn
 from cfgpp_tpu.models.quant import (QuantDense, quantize_activation_int8,
                                     quantize_kernel_int8)
 from cfgpp_tpu.weights.quantize import quantize_unet_params
+
+pytestmark = pytest.mark.slow  # >60s-class integration module: run via the full suite (pytest tests/ -q); the default dev selection is -m "not slow" (see pyproject)
 
 
 def test_quant_dense_matches_dense():

@@ -125,6 +125,7 @@ def test_ldm_vae_keys():
     assert _get(t, "quant_conv", "kernel").shape == (1, 1, 8, 8)
 
 
+@pytest.mark.slow  # ~2 min: full synthetic checkpoint + both converters
 def test_full_single_file_roundtrip(tmp_path):
     """Synthesize a COMPLETE single-file checkpoint from a tiny SDXL bundle
     (inverse walk, tests/sgm_synth.py), write it as safetensors, and load it
