@@ -461,16 +461,20 @@ def main():
             raise SystemExit("--sweep_batch needs a single --op_point")
         rows = {}
         for b in (int(x) for x in args.sweep_batch.split(",")):
-            r = run_op_point(args.op_point, jnp, on_tpu, {},
-                             quant_mode=args.quant_mode, batch_override=b)
-            rows[b] = {"value": r["value"],
-                       "seconds_per_image": r["seconds_per_image"],
-                       "mfu": r["mfu"]}
-        best = max(rows, key=lambda b: rows[b]["value"])
+            try:
+                r = run_op_point(args.op_point, jnp, on_tpu, {},
+                                 quant_mode=args.quant_mode, batch_override=b)
+                rows[b] = {"value": r["value"],
+                           "seconds_per_image": r["seconds_per_image"],
+                           "mfu": r["mfu"]}
+            except Exception as e:  # an OOM at big batches is a sweep
+                rows[b] = {"error": type(e).__name__}      # finding, not a crash
+        ok = {b: r for b, r in rows.items() if "value" in r}
+        best = max(ok, key=lambda b: ok[b]["value"]) if ok else None
         print(json.dumps({"metric": f"{args.op_point} batch sweep",
                           "quant_mode": args.quant_mode,
                           "sweep": rows, "best_batch": best,
-                          "best_value": rows[best]["value"]}))
+                          "best_value": ok[best]["value"] if ok else None}))
         return
     if args.op_point == "all" and on_tpu:
         # model-grouped order so consecutive op-points share one resident
