@@ -468,7 +468,9 @@ def main():
                            "seconds_per_image": r["seconds_per_image"],
                            "mfu": r["mfu"]}
             except Exception as e:  # an OOM at big batches is a sweep
-                rows[b] = {"error": type(e).__name__}      # finding, not a crash
+                rows[b] = {"error": type(e).__name__,      # finding, not a crash
+                           "detail": str(e).splitlines()[0][:160]
+                           if str(e) else ""}
         ok = {b: r for b, r in rows.items() if "value" in r}
         best = max(ok, key=lambda b: ok[b]["value"]) if ok else None
         print(json.dumps({"metric": f"{args.op_point} batch sweep",

@@ -174,12 +174,14 @@ class DiffusionEngine:
                                         method=self.bundle.vae.decode)
             return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
 
-        # Decode per-image for larger batches: fp32 VAE intermediates at
-        # 1024^2 are ~2GB/image — decoding a whole batch at once OOMs HBM.
-        # Per-image is also FASTER, not just safer: chunk-2/chunk-4 decode
-        # measured 2.2x worse per image (activation spill; r5 sweep at
-        # evidence/vae_decode_r5.json via tools/bench_vae_decode.py).
-        if z.shape[0] > 2:
+        # Decode per-image for every batch: VAE decoder intermediates at
+        # 1024^2 are ~1GB/image (bf16) — multi-image decode OOMs HBM once
+        # model params are resident (batch-2 whole-batch decode OOMed the
+        # int8 sweep, where bf16 + int8 UNet copies coexist), and the r5
+        # sweep measured per-image FASTER anyway: chunk-2/chunk-4 decode
+        # is 2.2x worse per image from activation spill
+        # (evidence/vae_decode_r5.json via tools/bench_vae_decode.py).
+        if z.shape[0] > 1:
             return jax.lax.map(lambda zi: one(zi[None])[0], z)
         return one(z)
 
