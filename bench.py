@@ -460,9 +460,13 @@ def main():
         if args.op_point in ("all", "ab"):
             raise SystemExit("--sweep_batch needs a single --op_point")
         rows = {}
+        # One bundle shared across every batch point: the weights don't
+        # depend on batch, and re-initializing 2.57B random params per
+        # point costs minutes over a 6-point sweep.
+        sweep_bundles = {}
         for b in (int(x) for x in args.sweep_batch.split(",")):
             try:
-                r = run_op_point(args.op_point, jnp, on_tpu, {},
+                r = run_op_point(args.op_point, jnp, on_tpu, sweep_bundles,
                                  quant_mode=args.quant_mode, batch_override=b)
                 rows[b] = {"value": r["value"],
                            "seconds_per_image": r["seconds_per_image"],
