@@ -309,6 +309,35 @@ def run_ab_pairs(jnp, pairs=10, quant_mode="dense"):
     }
 
 
+def run_batch_sweep(op_point, sweep_batch, jnp, on_tpu, quant_mode="dense",
+                    _run_op_point=None):
+    """Measure one op-point at several batch sizes; a failing point (an
+    OOM at big batches is a sweep FINDING, not a crash) becomes an error
+    row with the first exception line, and the sweep continues.  One
+    bundle is shared across every batch point: the weights don't depend
+    on batch, and re-initializing 2.57B random params per point costs
+    minutes over a 6-point sweep.  ``_run_op_point`` is a test seam."""
+    run = _run_op_point or run_op_point
+    rows = {}
+    sweep_bundles = {}
+    for b in (int(x) for x in sweep_batch.split(",")):
+        try:
+            r = run(op_point, jnp, on_tpu, sweep_bundles,
+                    quant_mode=quant_mode, batch_override=b)
+            rows[b] = {"value": r["value"],
+                       "seconds_per_image": r["seconds_per_image"],
+                       "mfu": r["mfu"]}
+        except Exception as e:
+            rows[b] = {"error": type(e).__name__,
+                       "detail": str(e).splitlines()[0][:160]
+                       if str(e) else ""}
+    ok = {b: r for b, r in rows.items() if "value" in r}
+    best = max(ok, key=lambda b: ok[b]["value"]) if ok else None
+    return {"metric": f"{op_point} batch sweep", "quant_mode": quant_mode,
+            "sweep": rows, "best_batch": best,
+            "best_value": ok[best]["value"] if ok else None}
+
+
 class _Ledger:
     """Incremental result accumulator: every completed op-point is written
     to evidence/bench_progress.json immediately, and emit() prints the one
@@ -459,28 +488,9 @@ def main():
     if args.sweep_batch:
         if args.op_point in ("all", "ab"):
             raise SystemExit("--sweep_batch needs a single --op_point")
-        rows = {}
-        # One bundle shared across every batch point: the weights don't
-        # depend on batch, and re-initializing 2.57B random params per
-        # point costs minutes over a 6-point sweep.
-        sweep_bundles = {}
-        for b in (int(x) for x in args.sweep_batch.split(",")):
-            try:
-                r = run_op_point(args.op_point, jnp, on_tpu, sweep_bundles,
-                                 quant_mode=args.quant_mode, batch_override=b)
-                rows[b] = {"value": r["value"],
-                           "seconds_per_image": r["seconds_per_image"],
-                           "mfu": r["mfu"]}
-            except Exception as e:  # an OOM at big batches is a sweep
-                rows[b] = {"error": type(e).__name__,      # finding, not a crash
-                           "detail": str(e).splitlines()[0][:160]
-                           if str(e) else ""}
-        ok = {b: r for b, r in rows.items() if "value" in r}
-        best = max(ok, key=lambda b: ok[b]["value"]) if ok else None
-        print(json.dumps({"metric": f"{args.op_point} batch sweep",
-                          "quant_mode": args.quant_mode,
-                          "sweep": rows, "best_batch": best,
-                          "best_value": ok[best]["value"] if ok else None}))
+        print(json.dumps(run_batch_sweep(args.op_point, args.sweep_batch,
+                                         jnp, on_tpu,
+                                         quant_mode=args.quant_mode)))
         return
     if args.op_point == "all" and on_tpu:
         # model-grouped order so consecutive op-points share one resident

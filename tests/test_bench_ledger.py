@@ -106,3 +106,34 @@ def test_default_op_points_are_the_slim_four():
     # every default op-point must exist in the table
     for n in bench.DEFAULT_OP_POINTS:
         assert n in bench.OP_POINTS
+
+
+def test_batch_sweep_survives_a_failing_point():
+    """An OOM at one batch size is a sweep finding, not a crash: the row
+    records the exception name + first message line, the sweep continues,
+    and best_batch is picked from the points that completed (the round-5
+    live failure mode: batch-2 whole-batch VAE decode OOMed mid-sweep)."""
+    def fake_run(name, jnp, on_tpu, bundle_cache, quant_mode="dense",
+                 batch_override=None):
+        if batch_override == 2:
+            raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory\nlong tail")
+        v = {4: 0.47, 8: 0.51}[batch_override]
+        return {"value": v, "seconds_per_image": 1.0 / v, "mfu": 0.4}
+
+    out = bench.run_batch_sweep("sdxl_int8", "2,4,8", None, True,
+                                quant_mode="all", _run_op_point=fake_run)
+    assert out["sweep"][2]["error"] == "RuntimeError"
+    assert out["sweep"][2]["detail"].startswith("RESOURCE_EXHAUSTED")
+    assert "\n" not in out["sweep"][2]["detail"]
+    assert out["best_batch"] == 8 and out["best_value"] == 0.51
+    # the shared-bundle dict and the result must be JSON-serializable
+    json.dumps(out)
+
+
+def test_batch_sweep_all_points_failing_has_null_best():
+    def fake_run(*a, **k):
+        raise MemoryError()
+    out = bench.run_batch_sweep("sdxl", "4,8", None, True,
+                                _run_op_point=fake_run)
+    assert out["best_batch"] is None and out["best_value"] is None
+    assert out["sweep"][4]["detail"] == ""
