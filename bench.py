@@ -331,6 +331,10 @@ def run_batch_sweep(op_point, sweep_batch, jnp, on_tpu, quant_mode="dense",
             rows[b] = {"error": type(e).__name__,
                        "detail": str(e).splitlines()[0][:160]
                        if str(e) else ""}
+        # per-point progress on stderr: a killed sweep still leaves its
+        # completed points on record (round-4 bench lesson, applied here)
+        print(f"[sweep] {op_point} b={b}: {rows[b]}", file=sys.stderr,
+              flush=True)
     ok = {b: r for b, r in rows.items() if "value" in r}
     best = max(ok, key=lambda b: ok[b]["value"]) if ok else None
     return {"metric": f"{op_point} batch sweep", "quant_mode": quant_mode,
