@@ -73,7 +73,9 @@ OP_POINTS = {
     # opt-in int8 W8A8 (fused Pallas kernels; --quant_mode all covers the
     # resnet convs + attention scores too): NOT the exact path — numerics
     # differ from bf16; reported separately.  Runs right after sdxl to
-    # share its base bundle (HBM holds one base at a time)
+    # share its base bundle (HBM holds one base at a time).  r5 batch
+    # sweep (evidence/sweep_batch_int8_r5.json): FLAT 0.478-0.499 img/s
+    # across b=2..16 (within the +-8% tunnel variance) — batch 4 stands
     "sdxl_int8": ("sdxl", "dpm++_2m_cfgpp", 1024, 25, 3, 4, 5.0,
                   "SDXL-int8-W8A8", True),
     # sd15 b4 1.175 img/s vs b1 0.90, b8 1.185 (flat); lightning b4 1.53
