@@ -86,7 +86,9 @@ OP_POINTS = {
     # the fused W8A8 path applied to the 4-NFE distilled config (same
     # opt-in numerics tradeoff as sdxl_int8): the UNet step drops from
     # ~103 to ~77 ms/img, and at 4 NFE the pipeline is UNet-bound enough
-    # for it to show end-to-end
+    # for it to show end-to-end.  r5 batch sweep
+    # (evidence/sweep_batch_lightning_int8_r5.json): FLAT 2.15-2.31 img/s
+    # across b=2..16 within tunnel variance — batch 4 stands here too
     "sdxl_lightning_int8": ("sdxl_lightning", "ddim_cfg++_lightning", 1024,
                             4, 5, 4, 1.0, "SDXL-Lightning-int8-W8A8", True),
     # the fused W8A8 path on the SD-v1.5 flagship config (reference
