@@ -385,6 +385,25 @@ class _Ledger:
         except OSError:
             pass  # progress file is best-effort; never fail the bench
 
+    @staticmethod
+    def _diagnose_device():
+        """Zero op-points completed is ambiguous: wedged tunnel vs real
+        failure.  A fresh SUBPROCESS probe (this process's main thread may
+        be stuck inside a device call, so it cannot probe itself) makes
+        the empty artifact attributable — the round-5 incident showed the
+        tunneled chip can reach a state where small programs run normally
+        while full-pipeline dispatches never return (PERF.md
+        'Operational')."""
+        import subprocess
+        probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "tpu_health.py")
+        try:
+            out = subprocess.run([sys.executable, probe, "--alloc_gb", "2"],
+                                 capture_output=True, text=True, timeout=90)
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as e:
+            return {"probe_error": f"{type(e).__name__}: {str(e)[:120]}"}
+
     def emit(self, partial=False):
         """Print the final headline line (idempotent across threads)."""
         if self._emitted.is_set():
@@ -401,7 +420,8 @@ class _Ledger:
                     "value": 0.0, "unit": "images/sec/chip",
                     "vs_baseline": 0.0,
                     "error": "budget/timeout exhausted before the first "
-                             "op-point completed"}
+                             "op-point completed",
+                    "tpu_diagnosis": self._diagnose_device()}
         line["headline_note"] = HEADLINE_NOTE
         line["op_points"] = self.results
         line.update(self.extras)

@@ -43,12 +43,30 @@ def test_ledger_emit_is_idempotent(capsys):
     assert len(out) == 1
 
 
-def test_ledger_empty_run_still_emits_valid_json(capsys):
+def test_ledger_empty_run_still_emits_valid_json(monkeypatch, capsys):
+    """Zero completed op-points must still yield a parseable headline —
+    with the subprocess TPU diagnosis attached so a 0.0 artifact is
+    attributable (wedged tunnel vs real failure; PERF.md 'Operational')."""
+    monkeypatch.setattr(bench._Ledger, "_diagnose_device",
+                        staticmethod(lambda: {"healthy": False,
+                                              "small_matmul_s": 2.5}))
     led = bench._Ledger(budget_s=0)
     led.emit(partial=True)
     line = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert line["value"] == 0.0 and line["partial"] is True
     assert "error" in line and line["unit"] == "images/sec/chip"
+    assert line["tpu_diagnosis"] == {"healthy": False, "small_matmul_s": 2.5}
+
+
+def test_diagnose_device_survives_probe_failure(monkeypatch):
+    """The diagnosis must never take the emit path down with it."""
+    import subprocess
+
+    def boom(*a, **k):
+        raise OSError("no such file")
+    monkeypatch.setattr(subprocess, "run", boom)
+    out = bench._Ledger._diagnose_device()
+    assert "probe_error" in out and "OSError" in out["probe_error"]
 
 
 def test_ledger_partial_records_skips(capsys):
